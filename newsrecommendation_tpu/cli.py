@@ -1,0 +1,235 @@
+"""Command-line driver: train / test / train_test / create_embeddings /
+read_embeddings — the reference main.py dispatcher (main.py:280-337)
+re-built on the TPU-native stack.
+
+Run:  python -m newsrecommendation_tpu.cli --mode train --model NRMS ...
+Flags keep the reference's names (parameters.py:5-62).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from newsrecommendation_tpu.ckpt import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from newsrecommendation_tpu.config import Config, config_from_args
+from newsrecommendation_tpu.data import (
+    EvalSamples,
+    TrainSamples,
+    build_news_features,
+    prepare_testing_data,
+    prepare_training_data,
+    read_news,
+)
+from newsrecommendation_tpu.data.embeddings import (
+    create_news_embeddings,
+    read_news_embeddings,
+)
+from newsrecommendation_tpu.data.mind import (
+    load_glove_matrix,
+    random_word_embeddings,
+)
+from newsrecommendation_tpu.eval import (
+    compute_news_scoring,
+    doc_sim_probe,
+    evaluate_impressions,
+)
+from newsrecommendation_tpu.models import get_model
+from newsrecommendation_tpu.parallel import make_mesh
+from newsrecommendation_tpu.parallel.mesh import replicate, table_sharding
+from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
+from newsrecommendation_tpu.parallel.spmd import (
+    make_spmd_news_encoder,
+    make_spmd_train_step,
+)
+from newsrecommendation_tpu.train import create_train_state
+from newsrecommendation_tpu.train.loop import fit
+from newsrecommendation_tpu.utils import dump_config, setup_logger
+
+
+def build_embedding_table(cfg, data_dir: str, corpus) -> np.ndarray:
+    """The title-embedding input for model init, per title_source."""
+    if cfg.title_source == "doc_table":
+        return read_news_embeddings(data_dir)
+    if cfg.glove_embedding_path:
+        matrix, have = load_glove_matrix(
+            cfg.glove_embedding_path, corpus.word_dict, cfg.word_embedding_dim
+        )
+        logging.info("GloVe: %d/%d words found", len(have), len(corpus.word_dict))
+        return matrix
+    logging.info("no GloVe path; random-initialized trainable word embeddings")
+    return random_word_embeddings(corpus.word_dict, cfg.word_embedding_dim,
+                                  cfg.seed)
+
+
+def _init_state(cfg, model, table, num_cat, num_subcat, mesh):
+    params = model.init(jax.random.PRNGKey(cfg.seed), cfg, table,
+                        num_cat, num_subcat)
+    state = create_train_state(cfg, params)
+    if mesh is not None and cfg.table_shards > 1:
+        # place the table row-sharded, the rest replicated
+        tbl = shard_table(np.asarray(params["embedding_table"]),
+                          cfg.table_shards)
+        state = replicate(mesh, state)
+        params = dict(state.params)
+        params["embedding_table"] = jax.device_put(tbl, table_sharding(mesh))
+        state = state._replace(params=params)
+    elif mesh is not None:
+        state = replicate(mesh, state)
+    return state
+
+
+def run_train(cfg: Config):
+    mesh = make_mesh(cfg)
+    logging.info("mesh: %s", mesh)
+
+    corpus = read_news(os.path.join(cfg.train_data_dir, "news.tsv"), cfg,
+                       "train")
+    news_features = build_news_features(corpus, cfg)
+    table = build_embedding_table(cfg, cfg.train_data_dir, corpus)
+
+    model = get_model(cfg.model)
+    state = _init_state(cfg, model, table,
+                        len(corpus.category_dict),
+                        len(corpus.subcategory_dict), mesh)
+
+    if cfg.load_ckpt_name:
+        path = os.path.join(cfg.model_dir, cfg.load_ckpt_name)
+        state, _ = load_checkpoint(path, state, cfg)
+
+    num_shards = mesh.shape["data"] if mesh is not None else 1
+    shard_path = os.path.join(
+        cfg.train_data_dir, f"behaviors_np{cfg.npratio}_0.tsv"
+    )
+    if cfg.prepare or not os.path.exists(shard_path):
+        total = prepare_training_data(cfg.train_data_dir, 1, cfg.npratio,
+                                      cfg.seed)
+        logging.info("%d training samples, %d batches",
+                     total, total // (cfg.batch_size * num_shards))
+
+    # The global batch spans the data axis; one host feeds the whole mesh, so
+    # a single shard-0 file is read and split by the batch sharding (the
+    # reference's per-rank files map to per-host files on multi-host pods).
+    samples = TrainSamples.from_file(shard_path, corpus.news_index, cfg)
+
+    train_step = make_spmd_train_step(
+        cfg, model, mesh, state,
+        batch_example=next(samples.iter_batches(
+            news_features, cfg.batch_size * num_shards, epoch=0, seed=0)),
+    )
+
+    vocabs = {
+        "category_dict": corpus.category_dict,
+        "subcategory_dict": corpus.subcategory_dict,
+        "word_dict": corpus.word_dict,
+    }
+    global_cfg = cfg.replace(batch_size=cfg.batch_size * num_shards)
+    state, stats = fit(global_cfg, model, state, samples, news_features,
+                       mesh=mesh, train_step=train_step, vocabs=vocabs,
+                       save_dir=cfg.model_dir)
+    logging.info("training done: %s", stats)
+    return state, vocabs, stats
+
+
+def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
+    mesh = make_mesh(cfg)
+    model = get_model(cfg.model)
+
+    if state is None:
+        ckpt_path = (
+            os.path.join(cfg.model_dir, cfg.load_ckpt_name)
+            if cfg.load_ckpt_name else latest_checkpoint(cfg.model_dir)
+        )
+        assert ckpt_path is not None, "No checkpoint found."
+        import json
+        with open(ckpt_path + ".json", "r", encoding="utf-8") as f:
+            vocabs = json.load(f)
+
+    # vocabs come from the checkpoint sidecar (reference main.py:163-166)
+    category_dict = vocabs.get("category_dict", {})
+    subcategory_dict = vocabs.get("subcategory_dict", {})
+    word_dict = vocabs.get("word_dict", {})
+
+    corpus = read_news(os.path.join(cfg.test_data_dir, "news.tsv"), cfg,
+                       "test", category_dict=category_dict,
+                       subcategory_dict=subcategory_dict, word_dict=word_dict)
+    news_features = build_news_features(corpus, cfg)
+    table = build_embedding_table(cfg, cfg.test_data_dir, corpus)
+
+    if state is None:
+        state = _init_state(cfg, model, table, len(category_dict),
+                            len(subcategory_dict), mesh)
+        state, _ = load_checkpoint(ckpt_path, state, cfg)
+    elif cfg.title_source == "doc_table":
+        # fresh table for the test corpus; model weights carried over
+        # (reference main.py:168-171 behavior, minus its shape-mismatch bug)
+        params = dict(state.params)
+        if cfg.table_shards > 1 and mesh is not None:
+            tbl = shard_table(np.asarray(table, dtype=np.float32),
+                              cfg.table_shards)
+            params["embedding_table"] = jax.device_put(
+                tbl, table_sharding(mesh))
+        else:
+            params["embedding_table"] = jax.numpy.asarray(
+                table, dtype=jax.numpy.float32)
+        state = state._replace(params=params)
+
+    encode_fn = (
+        make_spmd_news_encoder(cfg, model, mesh, state)
+        if (mesh is not None and cfg.table_shards > 1) else None
+    )
+    news_scoring = compute_news_scoring(model, state.params, cfg,
+                                        news_features, encode_fn=encode_fn)
+    logging.info("news scoring num: %d", news_scoring.shape[0])
+    sim = doc_sim_probe(news_scoring, num_pairs=1_000_000, seed=cfg.seed)
+    logging.info("News doc-sim: %.4f", sim)
+
+    shard_path = os.path.join(cfg.test_data_dir, "behaviors_0.tsv")
+    if cfg.prepare or not os.path.exists(shard_path):
+        prepare_testing_data(cfg.test_data_dir, 1)
+    eval_samples = EvalSamples.from_file(
+        shard_path, corpus.news_index, cfg, max_candidates=cfg.max_candidates
+    )
+    results = evaluate_impressions(model, state.params, cfg, eval_samples,
+                                   news_scoring, log_every=cfg.log_steps)
+    logging.info(
+        "[*] %d samples: AUC %.2f MRR %.2f nDCG5 %.2f nDCG10 %.2f",
+        int(results["samples_seen"]), 100 * results["auc"],
+        100 * results["mrr"], 100 * results["ndcg5"], 100 * results["ndcg10"],
+    )
+    return results
+
+
+def main(argv=None):
+    setup_logger()
+    cfg = config_from_args(argv)
+    dump_config(cfg)
+    Path(cfg.model_dir).mkdir(parents=True, exist_ok=True)
+
+    state, vocabs = None, None
+    if "train" in cfg.mode:
+        state, vocabs, _ = run_train(cfg)
+    if "test" in cfg.mode:
+        # reference demo.sh flips user_log_mask on for testing (demo.sh:26)
+        run_test(cfg, state=state, vocabs=vocabs)
+    if cfg.mode == "create_embeddings":
+        create_news_embeddings(cfg.train_data_dir, cfg.num_words_title,
+                               cfg.word_embedding_dim)
+        create_news_embeddings(cfg.test_data_dir, cfg.num_words_title,
+                               cfg.word_embedding_dim)
+    if cfg.mode == "read_embeddings":
+        table = read_news_embeddings(cfg.train_data_dir)
+        logging.info("embedding table: %s %s", table.shape, table.dtype)
+
+
+if __name__ == "__main__":
+    main()

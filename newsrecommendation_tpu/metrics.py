@@ -1,0 +1,188 @@
+"""Ranking metrics: numpy per-impression oracles + vectorized JAX versions.
+
+The reference computes AUC/MRR/nDCG per impression in a CPU numpy loop
+(``main.py:249-263``, definitions in ``metrics.py:5-29`` with a drifted
+duplicate in ``utils.py:43-61``). Here there is ONE numpy implementation
+(the oracle, unit-tested against sklearn) and a batched, mask-aware JAX
+implementation used on-device during evaluation, so whole eval batches of
+padded impressions are scored in a single fused XLA computation and
+aggregated with a ``psum`` across hosts.
+
+Conventions for the batched versions:
+  scores : (B, C) float — candidate scores, padded entries arbitrary
+  labels : (B, C) float — 0/1 relevance, padded entries must be 0
+  mask   : (B, C) float — 1 for real candidates, 0 for padding
+Degenerate impressions (all-0 or all-1 labels) are the caller's
+responsibility to exclude, mirroring ``main.py:250-251`` — use
+``valid_impression_mask``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = -1e30
+
+# --------------------------------------------------------------------------
+# numpy oracles (reference metrics.py semantics)
+# --------------------------------------------------------------------------
+
+
+def _rankdata_average(x: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with tie averaging, like scipy.rankdata."""
+    sorter = np.argsort(x, kind="mergesort")
+    inv = np.empty_like(sorter)
+    inv[sorter] = np.arange(len(x))
+    xs = x[sorter]
+    obs = np.r_[True, xs[1:] != xs[:-1]]
+    dense = obs.cumsum()[inv]
+    # count[i] = number of elements <= the i-th distinct value
+    count = np.r_[np.nonzero(obs)[0], len(obs)]
+    return 0.5 * (count[dense] + count[dense - 1] + 1)
+
+
+def roc_auc_score(y_true, y_score) -> float:
+    """Binary AUC with tie averaging; matches sklearn.roc_auc_score."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    npos = y_true.sum()
+    nneg = len(y_true) - npos
+    if npos == 0 or nneg == 0:
+        raise ValueError("AUC undefined for single-class labels")
+    ranks = _rankdata_average(y_score)
+    return float((ranks[y_true == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg))
+
+
+def dcg_score(y_true, y_score, k: int = 10) -> float:
+    """DCG@k with 2**rel - 1 gains (reference metrics.py:5-10)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    order = np.argsort(np.asarray(y_score))[::-1]
+    taken = np.take(y_true, order[:k])
+    gains = 2**taken - 1
+    discounts = np.log2(np.arange(len(taken)) + 2)
+    return float(np.sum(gains / discounts))
+
+
+def ndcg_score(y_true, y_score, k: int = 10) -> float:
+    """nDCG@k (reference metrics.py:13-16)."""
+    best = dcg_score(y_true, y_true, k)
+    actual = dcg_score(y_true, y_score, k)
+    return actual / best
+
+
+def mrr_score(y_true, y_score) -> float:
+    """Mean reciprocal rank over all positives (reference metrics.py:19-23)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    order = np.argsort(np.asarray(y_score))[::-1]
+    taken = np.take(y_true, order)
+    rr = taken / (np.arange(len(taken)) + 1)
+    return float(np.sum(rr) / np.sum(y_true))
+
+
+def ctr_score(y_true, y_score, k: int = 1) -> float:
+    """Mean relevance of the top-k (reference metrics.py:26-29)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    order = np.argsort(np.asarray(y_score))[::-1]
+    return float(np.mean(np.take(y_true, order[:k])))
+
+
+# --------------------------------------------------------------------------
+# batched JAX versions (mask-aware, jit/vmap/psum friendly)
+# --------------------------------------------------------------------------
+
+
+def valid_impression_mask(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(B,) 1.0 where an impression has both a positive and a negative.
+
+    Mirrors the reference's degenerate-label skip (``main.py:250-251``).
+    """
+    npos = jnp.sum(labels * mask, axis=-1)
+    nreal = jnp.sum(mask, axis=-1)
+    return ((npos > 0) & (npos < nreal)).astype(jnp.float32)
+
+
+def batched_auc(scores, labels, mask):
+    """(B,) AUC per impression via exact pairwise comparison.
+
+    AUC = [#(pos>neg) + 0.5*#(pos==neg)] / (npos*nneg) — identical to the
+    tie-averaged rank formula sklearn uses. O(C^2) per impression, which for
+    C <= a few hundred is one small batched matmul-shaped op on the VPU; this
+    replaces the per-impression sklearn call at ``main.py:255``.
+    Degenerate impressions return 0 (exclude via valid_impression_mask).
+    """
+    scores = scores.astype(jnp.float32)
+    labels = labels.astype(jnp.float32) * mask
+    pos = labels * mask  # (B, C)
+    neg = (1.0 - labels) * mask
+    diff = scores[..., :, None] - scores[..., None, :]  # (B, C, C)
+    wins = (diff > 0).astype(jnp.float32) + 0.5 * (diff == 0).astype(jnp.float32)
+    pair_mask = pos[..., :, None] * neg[..., None, :]
+    num = jnp.sum(wins * pair_mask, axis=(-2, -1))
+    den = jnp.sum(pos, axis=-1) * jnp.sum(neg, axis=-1)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+
+def _sort_labels_by_score(scores, labels, mask):
+    """Labels reordered by descending score; padded entries sort last with label 0."""
+    masked_scores = jnp.where(mask > 0, scores, _NEG_INF)
+    order = jnp.argsort(-masked_scores, axis=-1, stable=True)
+    return jnp.take_along_axis(labels * mask, order, axis=-1)
+
+
+def batched_dcg(scores, labels, mask, k: int = 10):
+    taken = _sort_labels_by_score(scores, labels, mask)[..., :k]
+    positions = jnp.arange(taken.shape[-1], dtype=jnp.float32)
+    discounts = 1.0 / jnp.log2(positions + 2.0)
+    gains = jnp.power(2.0, taken) - 1.0
+    return jnp.sum(gains * discounts, axis=-1)
+
+
+def batched_ndcg(scores, labels, mask, k: int = 10):
+    """(B,) nDCG@k; best-DCG sorts labels by themselves (metrics.py:13-16)."""
+    labels = labels.astype(jnp.float32)
+    best = batched_dcg(labels, labels, mask, k)
+    actual = batched_dcg(scores, labels, mask, k)
+    return jnp.where(best > 0, actual / jnp.maximum(best, 1e-12), 0.0)
+
+
+def batched_mrr(scores, labels, mask):
+    """(B,) MRR over all positives (metrics.py:19-23)."""
+    labels = labels.astype(jnp.float32)
+    taken = _sort_labels_by_score(scores, labels, mask)
+    positions = jnp.arange(taken.shape[-1], dtype=jnp.float32)
+    rr = taken / (positions + 1.0)
+    npos = jnp.sum(labels * mask, axis=-1)
+    return jnp.where(npos > 0, jnp.sum(rr, axis=-1) / jnp.maximum(npos, 1.0), 0.0)
+
+
+def batched_ctr(scores, labels, mask, k: int = 1):
+    """(B,) mean top-k relevance (metrics.py:26-29)."""
+    taken = _sort_labels_by_score(scores, labels.astype(jnp.float32), mask)[..., :k]
+    return jnp.mean(taken, axis=-1)
+
+
+@jax.jit
+def impression_metrics(scores, labels, mask):
+    """All eval metrics for a batch of padded impressions in one jit.
+
+    Returns dict of summed metrics + the valid-impression count, ready for
+    cross-host psum + weighted mean (the reference's dist.reduce pattern,
+    ``main.py:269-275``).
+    """
+    valid = valid_impression_mask(labels, mask)
+    out = {
+        "auc": batched_auc(scores, labels, mask),
+        "mrr": batched_mrr(scores, labels, mask),
+        "ndcg5": batched_ndcg(scores, labels, mask, k=5),
+        "ndcg10": batched_ndcg(scores, labels, mask, k=10),
+    }
+    sums = {name: jnp.sum(v * valid) for name, v in out.items()}
+    sums["count"] = jnp.sum(valid)
+    return sums
+
+
+def train_accuracy(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """Argmax accuracy over the (1+K)-way slots (reference utils.py:36-40)."""
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))

@@ -1,0 +1,121 @@
+"""Attention blocks: additive attention pooling, exp-normalized scaled-dot
+attention, multi-head self attention.
+
+The reference's attention normalization is NOT a standard masked softmax: it
+exponentiates raw scores, multiplies the (0/1) mask in AFTER the exp, and
+divides by the sum plus 1e-8 (model_utils.py:21-29 and model_utils.py:47-53).
+Accuracy parity depends on this exact math — in particular a fully-masked row
+yields an all-zero distribution (output 0), not uniform attention.
+
+``masked_exp_normalize`` reproduces that math exactly in float32 while being
+numerically stable: it shifts by the row max m and scales the epsilon by
+exp(-m), which is algebraically identical to the reference expression
+    exp(s_i) * mask_i / (sum_j exp(s_j) * mask_j + eps)
+for any m, and avoids overflow for large scores. When every score is below
+the float32 exp underflow point the reference's numerator underflows to 0 and
+the row collapses to zeros; here exp(-m) saturates to +inf and produces the
+same zeros.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from newsrecommendation_tpu.ops.common import linear
+from newsrecommendation_tpu.utils import init as pinit
+
+_EPS = 1e-8
+
+
+def masked_exp_normalize(scores, mask=None, axis: int = -1, eps: float = _EPS):
+    """exp(scores)*mask / (sum(exp(scores)*mask) + eps), stably.
+
+    scores: float array; mask: broadcastable 0/1 float or None.
+    """
+    scores = scores.astype(jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(scores, axis=axis, keepdims=True))
+    num = jnp.exp(scores - m)
+    if mask is not None:
+        num = num * mask.astype(num.dtype)
+    den = jnp.sum(num, axis=axis, keepdims=True) + eps * jnp.exp(-m)
+    # den can be +inf (all scores deeply negative) but never 0: guard anyway.
+    return jnp.where(den > 0, num / den, jnp.zeros_like(num))
+
+
+# --------------------------------------------------------------------------
+# Additive attention pooling (reference model_utils.py:7-31)
+# --------------------------------------------------------------------------
+
+
+def init_attention_pooling(key, emb_size: int, hidden_size: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": pinit.torch_linear(k1, emb_size, hidden_size, dtype),
+        "fc2": pinit.torch_linear(k2, hidden_size, 1, dtype),
+    }
+
+
+def attention_pooling(params, x, mask=None):
+    """Weighted pooling over axis -2.
+
+    x: (..., S, D); mask: (..., S) or None. Returns (..., D).
+    alpha = exp_normalize(fc2(tanh(fc1(x)))), out = sum_s alpha_s * x_s.
+    """
+    e = jnp.tanh(linear(params["fc1"], x))
+    a = linear(params["fc2"], e)[..., 0]  # (..., S)
+    alpha = masked_exp_normalize(a, mask, axis=-1)
+    return jnp.einsum("...sd,...s->...d", x, alpha.astype(x.dtype))
+
+
+# --------------------------------------------------------------------------
+# Scaled dot-product attention (reference model_utils.py:34-55)
+# --------------------------------------------------------------------------
+
+
+def scaled_dot_product_attention(q, k, v, key_mask=None, d_k: int | None = None):
+    """q,k: (..., S, d_k), v: (..., S, d_v); key_mask: (..., S) over keys.
+
+    attn = exp_normalize(q k^T / sqrt(d_k), mask over keys); out = attn v.
+    """
+    if d_k is None:
+        d_k = q.shape[-1]
+    scores = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(d_k)
+    mask = None if key_mask is None else key_mask[..., None, :]
+    attn = masked_exp_normalize(scores, mask, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", attn.astype(v.dtype), v)
+
+
+# --------------------------------------------------------------------------
+# Multi-head self attention (reference model_utils.py:58-95)
+# --------------------------------------------------------------------------
+
+
+def init_multi_head_self_attention(key, d_model: int, n_heads: int, d_k: int,
+                                   d_v: int | None = None, dtype=jnp.float32):
+    """Q/K/V projections only — the reference has no output projection."""
+    if d_v is None:
+        d_v = d_k
+    kq, kk, kv = jax.random.split(key, 3)
+    return {
+        "wq": pinit.xavier_linear(kq, d_model, n_heads * d_k, dtype),
+        "wk": pinit.xavier_linear(kk, d_model, n_heads * d_k, dtype),
+        "wv": pinit.xavier_linear(kv, d_model, n_heads * d_v, dtype),
+    }
+
+
+def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
+    """Self-attention over x: (B, S, d_model); mask: (B, S) over keys.
+
+    Returns (B, S, n_heads*d_v). Head split/merge mirrors
+    model_utils.py:89-95; the key mask broadcasts over heads and queries.
+    """
+    b, s, _ = x.shape
+    q = linear(params["wq"], x).reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
+    k = linear(params["wk"], x).reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
+    v = linear(params["wv"], x).reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
+    key_mask = None if mask is None else mask[:, None, :]
+    ctx = scaled_dot_product_attention(q, k, v, key_mask, d_k=q.shape[-1])
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)

@@ -1,0 +1,76 @@
+"""Device mesh construction and sharding placement.
+
+Replaces the reference's process-per-GPU + NCCL runtime (main.py:31,82,309):
+one JAX process drives all local devices; a 2-D mesh ('data', 'table')
+carries data parallelism on the first axis and embedding-table row sharding
+on the second. On multi-host slices ``jax.distributed.initialize`` extends
+the same mesh across hosts (the MASTER_ADDR/spawn equivalent); collectives
+ride ICI within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TABLE_AXIS = "table"
+
+
+def make_mesh(cfg=None, *, data_parallel: int = 0, table_shards: int = 1,
+              devices=None) -> Mesh:
+    """Build the ('data', 'table') mesh.
+
+    data_parallel=0 uses all remaining devices on the data axis.
+    """
+    if cfg is not None:
+        data_parallel = cfg.data_parallel
+        table_shards = cfg.table_shards
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if table_shards < 1 or n % table_shards != 0:
+        raise ValueError(f"table_shards={table_shards} must divide {n} devices")
+    dp = data_parallel or (n // table_shards)
+    if dp * table_shards > n:
+        raise ValueError(
+            f"mesh ({dp} x {table_shards}) needs {dp * table_shards} devices, "
+            f"have {n}"
+        )
+    dev_array = mesh_utils.create_device_mesh(
+        (dp, table_shards), devices=np.asarray(devices)[: dp * table_shards]
+    )
+    return Mesh(dev_array, (DATA_AXIS, TABLE_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: leading dim split over 'data', replicated over 'table'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Optional[Mesh], batch: dict) -> dict:
+    """Place a host batch dict onto the mesh, batch-dim sharded over 'data'."""
+    if mesh is None:
+        return {k: jax.device_put(v) for k, v in batch.items()}
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def replicate(mesh: Optional[Mesh], tree):
+    """Replicate a pytree (params/state) across the mesh."""
+    if mesh is None:
+        return jax.device_put(tree)
+    s = replicated(mesh)
+    return jax.device_put(tree, s)
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Embedding tables: rows split over 'table', replicated over 'data'."""
+    return NamedSharding(mesh, P(TABLE_AXIS, None))

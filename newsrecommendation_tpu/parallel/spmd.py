@@ -1,0 +1,149 @@
+"""Explicit-SPMD train step: shard_map over the ('data','table') mesh.
+
+This is the multi-chip training path. Layout:
+  - batch: sharded over 'data', replicated over 'table';
+  - embedding_table (+ its Adam state, if trainable): row-sharded over
+    'table', replicated over 'data';
+  - all other params + opt state: fully replicated.
+
+Collectives per step (all ICI):
+  - table-row psum over 'table' inside every embedding lookup
+    (sharded_embedding.gather_rows_sharded), whose transpose scatter-adds
+    table gradients back to the owning shard;
+  - one gradient psum over 'data' (the DDP allreduce equivalent,
+    reference main.py:82+109);
+  - scalar psums for the globally-exact weighted loss/accuracy.
+
+The weighted loss is computed as psum(local CE sum) / psum(local weight
+sum), so padded final batches give bit-identical math to a single-device
+run regardless of how padding lands across shards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from newsrecommendation_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
+from newsrecommendation_tpu.parallel.sharded_embedding import gather_rows_sharded
+from newsrecommendation_tpu.train.state import TrainState, make_optimizer
+
+try:  # jax>=0.6 exports shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def state_pspecs(state: TrainState, table_sharded: bool):
+    """PartitionSpecs matching TrainState: table row-sharded, rest replicated."""
+    def spec_for(path):
+        if table_sharded and "embedding_table" in path:
+            return P(TABLE_AXIS, None)
+        return P()
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if hasattr(tree, "_fields"):  # NamedTuple (optax states, TrainState)
+            return type(tree)(*(walk(getattr(tree, f), path + (f,))
+                                for f in tree._fields))
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, path) for v in tree)
+        return spec_for(path)
+
+    return walk(state)
+
+
+def batch_pspecs(batch: dict):
+    return {k: P(DATA_AXIS) for k in batch}
+
+
+def make_spmd_train_step(cfg, model, mesh, state: TrainState, batch_example: dict):
+    """Build the jitted shard_map train step for this mesh/state structure."""
+    table_sharded = cfg.table_shards > 1
+    st_specs = state_pspecs(state, table_sharded)
+    b_specs = batch_pspecs(batch_example)
+
+    lookup = (
+        (lambda table, ids: gather_rows_sharded(table, ids, TABLE_AXIS))
+        if table_sharded else
+        (lambda table, ids: jnp.take(table, ids, axis=0))
+    )
+
+    def step(state, batch, base_rng):
+        # distinct dropout stream per data shard (each DDP rank had its own)
+        rng = jax.random.fold_in(
+            jax.random.fold_in(base_rng, state.step),
+            jax.lax.axis_index(DATA_AXIS),
+        )
+
+        def loss_sum_fn(params):
+            loss_mean, scores = model.forward(
+                params, cfg, batch, rng=rng,
+                deterministic=cfg.deterministic, lookup=lookup,
+            )
+            wsum_local = jnp.sum(batch["weight"])
+            hit = (jnp.argmax(scores, -1) == batch["label"]).astype(jnp.float32)
+            hits_local = jnp.sum(hit * batch["weight"])
+            return loss_mean * wsum_local, (wsum_local, hits_local)
+
+        (loss_sum, (wsum, hits)), grads = jax.value_and_grad(
+            loss_sum_fn, has_aux=True
+        )(state.params)
+
+        wsum_g = jax.lax.psum(wsum, DATA_AXIS)
+        loss = jax.lax.psum(loss_sum, DATA_AXIS) / jnp.maximum(wsum_g, 1.0)
+        acc = jax.lax.psum(hits, DATA_AXIS) / jnp.maximum(wsum_g, 1.0)
+
+        # gradient of the GLOBAL weighted-mean loss
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, DATA_AXIS) / jnp.maximum(wsum_g, 1.0),
+            grads,
+        )
+
+        tx = make_optimizer(cfg, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, params, opt_state),
+            {"loss": loss, "acc": acc},
+        )
+
+    mapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(st_specs, b_specs, P()),
+        out_specs=(st_specs, {"loss": P(), "acc": P()}),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if cfg.donate_state else ())
+
+
+def make_spmd_news_encoder(cfg, model, mesh, state: TrainState):
+    """Sharded news-encoder apply for eval-time corpus encoding.
+
+    features: (B, F) replicated; output news vectors replicated. Used when
+    the table is row-sharded so eval never materializes the full table.
+    """
+    table_sharded = cfg.table_shards > 1
+    p_specs = state_pspecs(state, table_sharded).params
+
+    lookup = (
+        (lambda table, ids: gather_rows_sharded(table, ids, TABLE_AXIS))
+        if table_sharded else
+        (lambda table, ids: jnp.take(table, ids, axis=0))
+    )
+
+    def encode(params, features):
+        return model.news_encoder(params, cfg, features, lookup=lookup)
+
+    mapped = shard_map(
+        encode, mesh=mesh,
+        in_specs=(p_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,2 @@
+from newsrecommendation_tpu.train.state import TrainState, create_train_state  # noqa: F401
+from newsrecommendation_tpu.train.step import make_train_step  # noqa: F401

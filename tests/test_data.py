@@ -1,0 +1,220 @@
+"""Data layer: readers, vocabs, negative sampling, padding, batch assembly."""
+
+import os
+
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.data import (
+    EvalSamples,
+    TrainSamples,
+    build_news_features,
+    prepare_testing_data,
+    prepare_training_data,
+    read_news,
+)
+from newsrecommendation_tpu.data.loader import pad_to_fix_len, trans_to_nindex
+
+
+class TestReadNews:
+    def test_indices_are_1_based_first_seen(self, synthetic_dirs, tiny_cfg):
+        train_dir, _ = synthetic_dirs
+        corpus = read_news(os.path.join(train_dir, "news.tsv"), tiny_cfg, "train")
+        assert min(corpus.news_index.values()) == 1
+        assert len(set(corpus.news_index.values())) == corpus.num_news
+        # first line of the file gets index 1
+        with open(os.path.join(train_dir, "news.tsv")) as f:
+            first_doc = f.readline().split("\t")[0]
+        assert corpus.news_index[first_doc] == 1
+
+    def test_category_vocab_train_only(self, synthetic_dirs):
+        from newsrecommendation_tpu.config import Config
+        cfg = Config(use_category=True, use_subcategory=True)
+        train_dir, dev_dir = synthetic_dirs
+        train = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
+        assert len(train.category_dict) > 0
+        assert min(train.category_dict.values()) == 1
+        dev = read_news(os.path.join(dev_dir, "news.tsv"), cfg, "test",
+                        category_dict=train.category_dict,
+                        subcategory_dict=train.subcategory_dict,
+                        word_dict=train.word_dict)
+        assert dev.category_dict == train.category_dict
+
+    def test_word_vocab_filtering(self, synthetic_dirs, tiny_cfg):
+        train_dir, _ = synthetic_dirs
+        cfg_all = tiny_cfg.replace(filter_num=0)
+        cfg_strict = tiny_cfg.replace(filter_num=10)
+        c_all = read_news(os.path.join(train_dir, "news.tsv"), cfg_all, "train")
+        c_strict = read_news(os.path.join(train_dir, "news.tsv"), cfg_strict, "train")
+        assert len(c_strict.word_dict) < len(c_all.word_dict)
+        assert min(c_all.word_dict.values()) == 1
+
+
+class TestNewsFeatures:
+    def test_word_ids_layout(self, synthetic_dirs):
+        from newsrecommendation_tpu.config import Config
+        cfg = Config(title_source="word_ids", num_words_title=6,
+                     use_category=True, use_subcategory=True, filter_num=0)
+        train_dir, _ = synthetic_dirs
+        corpus = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
+        feats = build_news_features(corpus, cfg)
+        assert feats.shape == (corpus.num_news + 1, 6 + 2)
+        np.testing.assert_array_equal(feats[0], 0)  # unknown-news zero row
+        # title ids resolve back to the tokenized title
+        doc, idx = next(iter(corpus.news_index.items()))
+        toks = corpus.titles[doc][:6]
+        for j, w in enumerate(toks):
+            assert feats[idx, j] == corpus.word_dict.get(w, 0)
+        # category column holds the vocab id
+        assert feats[idx, 6] == corpus.category_dict[corpus.categories[doc][0]]
+
+    def test_doc_table_pointer_layout(self, synthetic_dirs):
+        from newsrecommendation_tpu.config import Config
+        cfg = Config(title_source="doc_table", use_category=True, filter_num=0)
+        train_dir, _ = synthetic_dirs
+        corpus = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
+        feats = build_news_features(corpus, cfg)
+        assert feats.shape == (corpus.num_news + 1, 2)
+        # title column is the doc index itself (preprocess.py:64-65 behavior)
+        for doc, idx in list(corpus.news_index.items())[:5]:
+            assert feats[idx, 0] == idx
+
+
+class TestPadding:
+    def test_front_pad_short(self):
+        x, mask = pad_to_fix_len([5, 6], 4)
+        assert x == [0, 0, 5, 6]
+        np.testing.assert_array_equal(mask, [0, 0, 1, 1])
+
+    def test_front_pad_truncates_keeping_recent(self):
+        x, mask = pad_to_fix_len([1, 2, 3, 4, 5], 3)
+        assert x == [3, 4, 5]  # most recent clicks kept (dataset.py:19)
+        np.testing.assert_array_equal(mask, [1, 1, 1])
+
+    def test_back_pad(self):
+        x, mask = pad_to_fix_len([7], 3, padding_front=False)
+        assert x == [7, 0, 0]
+        np.testing.assert_array_equal(mask, [1, 0, 0])
+
+    def test_unknown_news_maps_to_zero(self):
+        assert trans_to_nindex(["A", "B"], {"A": 3}) == [3, 0]
+
+
+class TestPrepare:
+    def test_training_negative_sampling(self, synthetic_dirs):
+        train_dir, _ = synthetic_dirs
+        n = prepare_training_data(train_dir, num_shards=2, npratio=4, seed=0)
+        assert n > 0
+        total = 0
+        for shard in range(2):
+            path = os.path.join(train_dir, "behaviors_np4_0.tsv")
+            assert os.path.exists(path)
+            with open(os.path.join(train_dir, f"behaviors_np4_{shard}.tsv")) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    assert len(parts) == 6
+                    assert len(parts[4].split()) == 1   # exactly one positive
+                    assert len(parts[5].split()) == 4   # npratio negatives
+                    total += 1
+        assert total == n
+
+    def test_negative_replication_when_scarce(self):
+        import random
+        from newsrecommendation_tpu.data.prepare import sample_negatives
+        rng = random.Random(0)
+        got = sample_negatives(["a", "b"], 5, rng)
+        assert len(got) == 5
+        assert set(got) <= {"a", "b"}
+
+    def test_testing_split_roundrobin(self, synthetic_dirs):
+        _, dev_dir = synthetic_dirs
+        n = prepare_testing_data(dev_dir, num_shards=3)
+        sizes = []
+        for shard in range(3):
+            with open(os.path.join(dev_dir, f"behaviors_{shard}.tsv")) as f:
+                sizes.append(len(f.readlines()))
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1
+
+
+class TestTrainSamples:
+    @pytest.fixture
+    def samples(self, synthetic_dirs, tiny_cfg):
+        train_dir, _ = synthetic_dirs
+        prepare_training_data(train_dir, num_shards=1, npratio=tiny_cfg.npratio,
+                              seed=0)
+        corpus = read_news(os.path.join(train_dir, "news.tsv"), tiny_cfg, "train")
+        s = TrainSamples.from_file(
+            os.path.join(train_dir, f"behaviors_np{tiny_cfg.npratio}_0.tsv"),
+            corpus.news_index, tiny_cfg,
+        )
+        return s, corpus
+
+    def test_shapes(self, samples, tiny_cfg):
+        s, _ = samples
+        assert s.history.shape == (s.num_samples, tiny_cfg.user_log_length)
+        assert s.neg.shape == (s.num_samples, tiny_cfg.npratio)
+
+    def test_epoch_arrays_inserts_positive_at_label(self, samples, tiny_cfg):
+        s, _ = samples
+        hist, mask, cand, label = s.epoch_arrays(epoch=0, seed=0)
+        k = tiny_cfg.npratio
+        for i in range(min(50, s.num_samples)):
+            lab = label[i]
+            assert cand[i, lab] == s.pos[i]
+            # negatives preserved in order around the inserted positive
+            expect = list(s.neg[i, :lab]) + list(s.neg[i, lab:])
+            got = list(cand[i, :lab]) + list(cand[i, lab + 1:])
+            assert got == expect
+
+    def test_epoch_arrays_fresh_slots_per_epoch(self, samples):
+        s, _ = samples
+        _, _, _, l0 = s.epoch_arrays(epoch=0, seed=0)
+        _, _, _, l1 = s.epoch_arrays(epoch=1, seed=0)
+        assert not np.array_equal(l0, l1)
+
+    def test_iter_batches_fixed_shapes_and_weights(self, samples, tiny_cfg):
+        s, corpus = samples
+        from newsrecommendation_tpu.data import build_news_features
+        feats = build_news_features(corpus, tiny_cfg)
+        bs = 8
+        batches = list(s.iter_batches(feats, bs, epoch=0, seed=0))
+        total_weight = 0.0
+        for b in batches:
+            assert b["history"].shape == (bs, tiny_cfg.user_log_length,
+                                          tiny_cfg.news_feature_width)
+            assert b["candidate"].shape == (bs, 1 + tiny_cfg.npratio,
+                                            tiny_cfg.news_feature_width)
+            total_weight += b["weight"].sum()
+        assert int(total_weight) == s.num_samples
+
+
+class TestEvalSamples:
+    def test_parse_and_pad(self, synthetic_dirs, tiny_cfg):
+        _, dev_dir = synthetic_dirs
+        prepare_testing_data(dev_dir, num_shards=1)
+        corpus = read_news(os.path.join(dev_dir, "news.tsv"), tiny_cfg, "test")
+        es = EvalSamples.from_file(
+            os.path.join(dev_dir, "behaviors_0.tsv"), corpus.news_index, tiny_cfg
+        )
+        assert es.candidates.shape == es.labels.shape == es.candidate_mask.shape
+        # labels only where mask is set
+        assert np.all(es.labels * (1 - es.candidate_mask) == 0)
+        # every synthetic impression has >=1 positive and >=1 negative
+        npos = (es.labels * es.candidate_mask).sum(1)
+        nreal = es.candidate_mask.sum(1)
+        assert np.all(npos >= 1) and np.all(npos < nreal)
+
+    def test_iter_batches_padding(self, synthetic_dirs, tiny_cfg):
+        _, dev_dir = synthetic_dirs
+        prepare_testing_data(dev_dir, num_shards=1)
+        corpus = read_news(os.path.join(dev_dir, "news.tsv"), tiny_cfg, "test")
+        es = EvalSamples.from_file(
+            os.path.join(dev_dir, "behaviors_0.tsv"), corpus.news_index, tiny_cfg
+        )
+        bs = 7
+        total = 0
+        for b in es.iter_batches(bs):
+            assert b["history"].shape[0] == bs
+            total += b["num_real"]
+        assert total == es.num_samples
