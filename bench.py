@@ -1,0 +1,96 @@
+"""Benchmark: NRMS training throughput on one TPU chip.
+
+Measures the jitted train step (forward + backward + Adam, dropout on) at
+the reference's effective MIND-small configuration (batch 128, history 50,
+title 20, 300-d words, 400-d news vectors — README.md "32*4" rows) and
+prints ONE JSON line.
+
+Measurement protocol: the axon TPU runtime memoizes executions whose
+arguments are bitwise-identical (and `block_until_ready` does not reliably
+force remote completion), so the loop rotates 8 distinct pre-staged batches
+through donated state and forces completion with a scalar fetch of the final
+loss. See tools/microbench.py.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the baseline
+constant below is this framework's own first round-1 TPU v5e measurement
+(pre-optimization jnp path), so vs_baseline tracks speedups across rounds
+from a fixed anchor.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 anchor: first trustworthy measurement on TPU v5 lite (examples/s),
+# f32, straight XLA lowering of the reference math (83 ms/step @ batch 128).
+BASELINE_EPS = 1542.0
+
+
+def main():
+    import jax
+
+    from newsrecommendation_tpu.config import Config
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.train import create_train_state
+    from newsrecommendation_tpu.train.step import make_train_step
+
+    cfg = Config(
+        model="NRMS", title_source="word_ids", num_words_title=20,
+        user_log_length=50, word_embedding_dim=300, news_dim=400,
+        news_query_vector_dim=200, user_query_vector_dim=200,
+        num_attention_heads=20, batch_size=128, npratio=4, drop_rate=0.2,
+        lr=3e-4, deterministic=False,
+    )
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    vocab = 30000  # ~MIND-small word vocab scale
+    table = rng.normal(0, 0.06, size=(vocab, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0.0
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    state = create_train_state(cfg, params)
+    train_step = make_train_step(cfg, model)
+
+    f = cfg.news_feature_width
+    b = cfg.batch_size
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "history": jax.numpy.asarray(r.integers(
+                0, vocab, size=(b, cfg.user_log_length, f)), jax.numpy.int32),
+            "history_mask": jax.numpy.asarray(
+                (r.random((b, cfg.user_log_length)) > 0.3).astype(np.float32)),
+            "candidate": jax.numpy.asarray(r.integers(
+                0, vocab, size=(b, 1 + cfg.npratio, f)), jax.numpy.int32),
+            "label": jax.numpy.asarray(r.integers(
+                0, cfg.npratio + 1, size=(b,)), jax.numpy.int32),
+            "weight": jax.numpy.ones((b,), jax.numpy.float32),
+        }
+
+    batches = [make_batch(s) for s in range(8)]
+    base_rng = jax.random.PRNGKey(0)
+
+    # warmup (compile) — forced complete via scalar fetch
+    for i in range(5):
+        state, metrics = train_step(state, batches[i % 8], base_rng)
+    float(metrics["loss"])
+
+    iters = 150
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = train_step(state, batches[i % 8], base_rng)
+    float(metrics["loss"])  # forces completion of the whole chain
+    dt = time.perf_counter() - t0
+
+    eps = iters * b / dt
+    print(json.dumps({
+        "metric": "nrms_train_examples_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(eps / BASELINE_EPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

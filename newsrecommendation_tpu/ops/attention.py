@@ -109,13 +109,42 @@ def init_multi_head_self_attention(key, d_model: int, n_heads: int, d_k: int,
 def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     """Self-attention over x: (B, S, d_model); mask: (B, S) over keys.
 
-    Returns (B, S, n_heads*d_v). Head split/merge mirrors
-    model_utils.py:89-95; the key mask broadcasts over heads and queries.
+    Returns (B, S, n_heads*d_v). Same math as the reference head split /
+    scaled-dot / exp-normalize / merge (model_utils.py:78-95), but the
+    contraction strategy is chosen for the TPU:
+
+    - Small heads (d_k <= 32) and short sequences — the NAML/NRMS regime
+      (20 heads x d 20, titles of 20 tokens, histories of 50) — run as
+      broadcast-multiply-reduce on the VPU. A (20,20,20) batched matmul
+      occupies <3% of the 128x128 MXU; the VPU formulation is ~2x faster
+      and fuses with the exp-normalize.
+    - Larger heads use batched MXU einsums.
     """
     b, s, _ = x.shape
-    q = linear(params["wq"], x).reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
-    k = linear(params["wk"], x).reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
-    v = linear(params["wv"], x).reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
-    key_mask = None if mask is None else mask[:, None, :]
-    ctx = scaled_dot_product_attention(q, k, v, key_mask, d_k=q.shape[-1])
-    return ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    qf = linear(params["wq"], x)
+    kf = linear(params["wk"], x)
+    vf = linear(params["wv"], x)
+
+    if mask is None and qf.shape[-1] % n_heads == 0:
+        from newsrecommendation_tpu.ops.pallas import pallas_enabled
+        if pallas_enabled():
+            from newsrecommendation_tpu.ops.pallas import exp_mhsa
+            return exp_mhsa(qf, kf, vf, n_heads)
+
+    q = qf.reshape(b, s, n_heads, -1)
+    k = kf.reshape(b, s, n_heads, -1)
+    v = vf.reshape(b, s, n_heads, -1)
+    d_k = q.shape[-1]
+
+    if d_k <= 32 and s <= 128:
+        # (b, q, k, h) scores via VPU; reduce over the tiny d axis
+        scores = (q[:, :, None] * k[:, None, :]).sum(-1) / math.sqrt(d_k)
+        m = None if mask is None else mask[:, None, :, None]
+        attn = masked_exp_normalize(scores, m, axis=2)
+        ctx = (attn[..., None].astype(v.dtype) * v[:, None]).sum(2)  # (b,q,h,d)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
+        m = None if mask is None else mask[:, None, None, :]
+        attn = masked_exp_normalize(scores, m, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v)
+    return ctx.reshape(b, s, -1)

@@ -1,0 +1,190 @@
+"""Fused multi-head exp-normalized self-attention — Pallas TPU kernel.
+
+The NAML/NRMS attention regime (sequences of 20-50 tokens, 20 heads of
+d=20) is hostile to both the MXU (3% utilization on 20x20x20 matmuls) and
+to unfused XLA (the (N,T,T,H) score tensor makes every op HBM-bound). This
+kernel keeps one block of rows entirely in VMEM: per head it computes
+scores, the reference's exp/normalize (model_utils.py:47-53 semantics,
+max-shifted with the epsilon scaled by exp(-max) — algebraically identical,
+see ops/attention.py), and the context matmul, so HBM traffic is exactly
+q/k/v in + context out.
+
+Backward uses full recomputation (custom VJP): the backward kernel re-derives
+scores and attention weights from q/k/v in VMEM and emits dq/dk/dv in one
+pass — nothing but the inputs is saved between passes.
+
+Layout: q, k, v are (N, T, H*D) — head h owns the contiguous lane slice
+[h*D, (h+1)*D). All slices are static (the head loop is unrolled), so Mosaic
+sees static lane offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from newsrecommendation_tpu.ops.pallas.config import pallas_interpret
+
+_EPS = 1e-8
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads, d_head):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        qh = q[:, :, sl].astype(jnp.float32)
+        kh = k[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv                                       # (BN, T, T)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
+        a = e / den
+        ctx = jax.lax.dot_general(
+            a, v[:, :, sl].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                             # (BN, T, D)
+        o_ref[:, :, sl] = ctx.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                *, n_heads, d_head):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        qh = q[:, :, sl].astype(jnp.float32)
+        kh = k[:, :, sl].astype(jnp.float32)
+        vh = v[:, :, sl].astype(jnp.float32)
+        gh = g[:, :, sl].astype(jnp.float32)
+        # recompute forward attention
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
+        a = e / den
+        # dV_h = a^T @ g_h : contract over the query axis
+        dv = jax.lax.dot_general(
+            a, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                             # (BN, T_k, D)
+        # dA[q,k] = g_h[q,:] . v_h[k,:]
+        da = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                             # (BN, T_q, T_k)
+        # normalization backward: dE = (dA - sum_k dA*a) / den; dS = dE*e
+        ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * inv
+        # dQ_h = dS @ K_h ; dK_h = dS^T @ Q_h
+        dq = jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _block_rows(n: int, target: int) -> int:
+    b = min(n, target)
+    while n % b:
+        b -= 1
+    return b
+
+
+def _fwd_call(q, k, v, n_heads, d_head, block_rows):
+    n, t, hd = q.shape
+    bn = _block_rows(n, block_rows)
+    grid = (n // bn,)
+    spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_heads=n_heads, d_head=d_head),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * n_heads * t * t * d_head,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(q, k, v)
+
+
+def _bwd_call(q, k, v, g, n_heads, d_head, block_rows):
+    n, t, hd = q.shape
+    bn = _block_rows(n, max(block_rows // 2, 1))
+    grid = (n // bn,)
+    spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shapes = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, n_heads=n_heads, d_head=d_head),
+        out_shape=(shapes, shapes, shapes),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * n_heads * t * t * d_head,
+            bytes_accessed=7 * q.size * q.dtype.itemsize,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def exp_mhsa(q, k, v, n_heads: int, block_rows: int = 128):
+    """Fused unmasked exp-normalized MHSA.
+
+    q, k, v: (N, T, n_heads*d_head). Returns context (N, T, n_heads*d_head)
+    — the exact math of scaled_dot_product_attention with mask=None
+    (model_utils.py:47-53), all heads fused in VMEM.
+    """
+    d_head = q.shape[-1] // n_heads
+    return _fwd_call(q, k, v, n_heads, d_head, block_rows)
+
+
+def _exp_mhsa_fwd(q, k, v, n_heads, block_rows):
+    d_head = q.shape[-1] // n_heads
+    return _fwd_call(q, k, v, n_heads, d_head, block_rows), (q, k, v)
+
+
+def _exp_mhsa_bwd(n_heads, block_rows, res, g):
+    q, k, v = res
+    d_head = q.shape[-1] // n_heads
+    dq, dk, dv = _bwd_call(q, k, v, g.astype(q.dtype), n_heads, d_head,
+                           block_rows)
+    return dq, dk, dv
+
+
+exp_mhsa.defvjp(_exp_mhsa_fwd, _exp_mhsa_bwd)

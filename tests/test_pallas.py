@@ -1,0 +1,115 @@
+"""Pallas kernels vs the jnp reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.ops import attention as A
+from newsrecommendation_tpu.ops.pallas import exp_mhsa, set_pallas_mode
+from newsrecommendation_tpu.ops.pallas.fused_attention import _block_rows
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    set_pallas_mode("interpret")
+    yield
+    set_pallas_mode("auto")
+
+
+def ref_attention(q, k, v, n_heads):
+    """jnp reference: per-head exp-normalized attention on (N, T, H*D)."""
+    n, t, hd = q.shape
+    d = hd // n_heads
+    q4 = q.reshape(n, t, n_heads, d)
+    k4 = k.reshape(n, t, n_heads, d)
+    v4 = v.reshape(n, t, n_heads, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) / np.sqrt(d)
+    attn = A.masked_exp_normalize(scores, None, axis=-1)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v4)
+    return ctx.reshape(n, t, hd)
+
+
+def make_qkv(rng, n=12, t=5, heads=3, d=4):
+    shape = (n, t, heads * d)
+    return tuple(
+        jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3)
+    )
+
+
+class TestExpMhsaForward:
+    def test_matches_reference(self, rng):
+        q, k, v = make_qkv(rng)
+        got = exp_mhsa(q, k, v, 3)
+        want = ref_attention(q, k, v, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_nrms_dims(self, rng):
+        q, k, v = make_qkv(rng, n=8, t=20, heads=20, d=20)
+        got = exp_mhsa(q, k, v, 20)
+        want = ref_attention(q, k, v, 20)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_blocking_invariance(self, rng):
+        q, k, v = make_qkv(rng, n=12)
+        a = exp_mhsa(q, k, v, 3, 4)
+        b = exp_mhsa(q, k, v, 3, 12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_block_rows_divisor(self):
+        assert _block_rows(6400, 64) == 64
+        assert _block_rows(100, 64) == 50
+        assert _block_rows(7, 64) == 7
+
+
+class TestExpMhsaBackward:
+    def test_grads_match_reference(self, rng):
+        q, k, v = make_qkv(rng)
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(exp_mhsa(q, k, v, 3) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(ref_attention(q, k, v, 3) ** 2)
+
+        g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_grads_nrms_dims(self, rng):
+        q, k, v = make_qkv(rng, n=4, t=20, heads=20, d=20)
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(jnp.tanh(exp_mhsa(q, k, v, 20)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.tanh(ref_attention(q, k, v, 20)))
+
+        g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gk, gr in zip(g_kernel, g_ref):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                       rtol=1e-3, atol=1e-4)
+
+
+class TestMhsaIntegration:
+    def test_mhsa_uses_kernel_when_enabled(self, rng, tiny_cfg):
+        """multi_head_self_attention routes to the kernel for mask=None and
+        produces the same values as the jnp path."""
+        from newsrecommendation_tpu.ops import (
+            init_multi_head_self_attention,
+            multi_head_self_attention,
+        )
+        params = init_multi_head_self_attention(jax.random.PRNGKey(0), 16, 4, 4)
+        x = jnp.asarray(rng.normal(size=(6, 5, 16)).astype(np.float32))
+        got = multi_head_self_attention(params, x, None, n_heads=4)
+        set_pallas_mode("off")
+        want = multi_head_self_attention(params, x, None, n_heads=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
