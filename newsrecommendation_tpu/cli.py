@@ -50,6 +50,7 @@ from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
 from newsrecommendation_tpu.parallel.spmd import (
     make_spmd_news_encoder,
     make_spmd_train_step,
+    place_state,
 )
 from newsrecommendation_tpu.train import create_train_state
 from newsrecommendation_tpu.train.loop import fit
@@ -72,19 +73,15 @@ def build_embedding_table(cfg, data_dir: str, corpus) -> np.ndarray:
 
 
 def _init_state(cfg, model, table, num_cat, num_subcat, mesh):
+    if cfg.table_shards > 1:
+        # pad BEFORE init so the Adam moments share the padded shape
+        table = shard_table(np.asarray(table, dtype=np.float32),
+                            cfg.table_shards)
     params = model.init(jax.random.PRNGKey(cfg.seed), cfg, table,
                         num_cat, num_subcat)
     state = create_train_state(cfg, params)
-    if mesh is not None and cfg.table_shards > 1:
-        # place the table row-sharded, the rest replicated
-        tbl = shard_table(np.asarray(params["embedding_table"]),
-                          cfg.table_shards)
-        state = replicate(mesh, state)
-        params = dict(state.params)
-        params["embedding_table"] = jax.device_put(tbl, table_sharding(mesh))
-        state = state._replace(params=params)
-    elif mesh is not None:
-        state = replicate(mesh, state)
+    if mesh is not None:
+        state = place_state(state, mesh, cfg.table_shards > 1)
     return state
 
 

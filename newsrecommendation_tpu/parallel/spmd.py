@@ -62,6 +62,24 @@ def batch_pspecs(batch: dict):
     return {k: P(DATA_AXIS) for k in batch}
 
 
+def place_state(state: TrainState, mesh, table_sharded: bool) -> TrainState:
+    """Place a host/train state onto the mesh: embedding-table leaves (params
+    AND their optimizer moments) row-sharded over 'table', all else
+    replicated. The table must already be padded to a shard-divisible row
+    count (sharded_embedding.shard_table) BEFORE the state was created, so
+    Adam moments share the padded shape."""
+    from jax.sharding import NamedSharding
+
+    def place(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        if table_sharded and "embedding_table" in names and getattr(
+                leaf, "ndim", 0) == 2:
+            return jax.device_put(leaf, NamedSharding(mesh, P(TABLE_AXIS, None)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def make_spmd_train_step(cfg, model, mesh, state: TrainState, batch_example: dict):
     """Build the jitted shard_map train step for this mesh/state structure."""
     table_sharded = cfg.table_shards > 1

@@ -37,10 +37,20 @@ def trainable_mask(params, cfg):
 
 
 def make_optimizer(cfg, params):
-    """Adam with torch-default hyperparams (b1=0.9, b2=0.999, eps=1e-8),
-    masked so frozen tables receive zero updates."""
+    """Adam with torch-default hyperparams (b1=0.9, b2=0.999, eps=1e-8).
+
+    Frozen leaves are routed to set_to_zero (their updates become exact
+    zeros and they carry no Adam state) — the equivalent of the reference's
+    nn.Embedding.from_pretrained(freeze=True). Note optax.masked would NOT
+    work here: it passes masked-out updates through unchanged.
+    """
     adam = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
-    return optax.masked(adam, trainable_mask(params, cfg))
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "frozen", trainable_mask(params, cfg)
+    )
+    return optax.multi_transform(
+        {"train": adam, "frozen": optax.set_to_zero()}, labels
+    )
 
 
 def create_train_state(cfg, params) -> TrainState:

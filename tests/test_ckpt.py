@@ -1,0 +1,119 @@
+"""Checkpoint/resume: roundtrip fidelity, frozen-table exclusion, naming."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.ckpt import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from newsrecommendation_tpu.models import get_model
+from newsrecommendation_tpu.train import create_train_state
+from newsrecommendation_tpu.train.step import make_train_step
+
+
+def make_state(cfg, rng, table_rows=30):
+    model = get_model(cfg.model)
+    table = rng.normal(size=(table_rows, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0.0
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    return model, create_train_state(cfg, params)
+
+
+def assert_trees_equal(a, b):
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.array(x), np.array(y)),
+        a, b,
+    )
+
+
+def test_roundtrip(tiny_cfg, rng, tmp_path):
+    cfg = tiny_cfg
+    model, state = make_state(cfg, rng)
+    save_checkpoint(str(tmp_path), "epoch-1.ckpt", state, cfg,
+                    category_dict={"a": 1}, word_dict={"w": 1})
+    _, fresh = make_state(cfg, np.random.default_rng(99))
+    restored, sidecar = load_checkpoint(
+        str(tmp_path / "epoch-1.ckpt"), fresh, cfg)
+    assert_trees_equal(restored.params, state.params)
+    assert_trees_equal(restored.opt_state, state.opt_state)
+    assert int(restored.step) == int(state.step)
+    assert sidecar["category_dict"] == {"a": 1}
+    assert sidecar["word_dict"] == {"w": 1}
+
+
+def test_frozen_table_excluded_and_rebuilt(tiny_cfg, rng, tmp_path):
+    """The intent of main.py:123 (done right): a frozen table is not written,
+    and restore uses the template's freshly-built table — even one with a
+    DIFFERENT shape (train vs test corpus size)."""
+    cfg = tiny_cfg.replace(freeze_embedding=True)
+    model, state = make_state(cfg, rng, table_rows=30)
+    path = save_checkpoint(str(tmp_path), "epoch-1.ckpt", state, cfg)
+
+    # the file must be smaller than an unfrozen save (table included)
+    cfg_unfrozen = tiny_cfg.replace(freeze_embedding=False)
+    _, state_uf = make_state(cfg_unfrozen, np.random.default_rng(3))
+    path_uf = save_checkpoint(str(tmp_path), "unfrozen.ckpt", state_uf,
+                              cfg_unfrozen)
+    assert os.path.getsize(path) < os.path.getsize(path_uf)
+    # rebuild with a different-shape table (test corpus)
+    _, fresh = make_state(cfg, np.random.default_rng(7), table_rows=50)
+    fresh_table = np.array(fresh.params["embedding_table"])
+    restored, _ = load_checkpoint(path, fresh, cfg)
+    np.testing.assert_array_equal(
+        np.array(restored.params["embedding_table"]), fresh_table)
+    # non-table params came from the checkpoint
+    assert_trees_equal(restored.params["news_encoder"],
+                       state.params["news_encoder"])
+
+
+def test_resume_training_continuity(tiny_cfg, rng, tmp_path):
+    """Training 2 steps == training 1 step, checkpointing, restoring, and
+    training 1 more step (optimizer state carried exactly)."""
+    cfg = tiny_cfg.replace(deterministic=True, lr=0.01)
+    model, state = make_state(cfg, rng)
+    step = make_train_step(cfg, model, donate=False)
+    r = np.random.default_rng(1)
+    b, l, k, f = cfg.batch_size, cfg.user_log_length, cfg.npratio, cfg.news_feature_width
+    batches = []
+    for i in range(2):
+        batches.append({
+            "history": jnp.asarray(r.integers(0, 30, size=(b, l, f)), jnp.int32),
+            "history_mask": jnp.asarray((r.random((b, l)) > 0.3).astype(np.float32)),
+            "candidate": jnp.asarray(r.integers(0, 30, size=(b, 1 + k, f)), jnp.int32),
+            "label": jnp.asarray(r.integers(0, k + 1, size=(b,)), jnp.int32),
+            "weight": jnp.ones((b,), jnp.float32),
+        })
+    key = jax.random.PRNGKey(0)
+
+    s_direct, _ = step(state, batches[0], key)
+    s_direct, _ = step(s_direct, batches[1], key)
+
+    s1, _ = step(state, batches[0], key)
+    save_checkpoint(str(tmp_path), "epoch-1.ckpt", s1, cfg)
+    _, fresh = make_state(cfg, np.random.default_rng(42))
+    s_restored, _ = load_checkpoint(str(tmp_path / "epoch-1.ckpt"), fresh, cfg)
+    s_resumed, _ = step(s_restored, batches[1], key)
+
+    assert_trees_equal(s_direct.params, s_resumed.params)
+
+
+def test_latest_checkpoint_ordering(tmp_path):
+    for name in ("epoch-1.ckpt", "epoch-2-500.ckpt", "epoch-2.ckpt",
+                 "epoch-10-100.ckpt"):
+        (tmp_path / name).write_bytes(b"x")
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch-10-100.ckpt")
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_atomic_write_no_tmp_left(tiny_cfg, rng, tmp_path):
+    cfg = tiny_cfg
+    _, state = make_state(cfg, rng)
+    save_checkpoint(str(tmp_path), "epoch-1.ckpt", state, cfg)
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert leftovers == []

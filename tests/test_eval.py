@@ -1,0 +1,116 @@
+"""Eval pipeline: news-vector cache, doc-sim probe, vectorized impression
+metrics vs the per-impression numpy oracle loop (reference main.py:240-263)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu import metrics as M
+from newsrecommendation_tpu.data.loader import EvalSamples
+from newsrecommendation_tpu.eval import (
+    compute_news_scoring,
+    doc_sim_probe,
+    evaluate_impressions,
+)
+from newsrecommendation_tpu.models import get_model
+
+
+@pytest.fixture
+def model_and_params(tiny_cfg, rng):
+    model = get_model(tiny_cfg.model)
+    table = rng.normal(size=(30, tiny_cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0.0
+    params = model.init(jax.random.PRNGKey(0), tiny_cfg, table)
+    return model, params
+
+
+def test_news_scoring_chunking_invariance(tiny_cfg, rng, model_and_params):
+    model, params = model_and_params
+    feats = rng.integers(0, 30, size=(37, tiny_cfg.news_feature_width)).astype(np.int32)
+    small = compute_news_scoring(model, params, tiny_cfg.replace(eval_news_chunk=8),
+                                 feats)
+    big = compute_news_scoring(model, params, tiny_cfg.replace(eval_news_chunk=64),
+                               feats)
+    assert small.shape == (37, tiny_cfg.news_dim)
+    np.testing.assert_allclose(np.array(small), np.array(big), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_doc_sim_probe_detects_collapse(rng):
+    collapsed = np.tile(rng.normal(size=(1, 8)).astype(np.float32), (50, 1))
+    healthy = rng.normal(size=(50, 8)).astype(np.float32)
+    # i==j pairs contribute 0 but still divide the mean (reference
+    # main.py:203-208 behavior), so "collapsed" reads slightly below 1.0
+    assert doc_sim_probe(collapsed, num_pairs=2000, seed=0) > 0.95
+    assert abs(doc_sim_probe(healthy, num_pairs=2000, seed=0)) < 0.5
+
+
+def _manual_eval(samples, news_scoring, user_vecs):
+    """The reference's per-impression CPU loop (main.py:249-263) as oracle."""
+    aucs, mrrs, n5s, n10s = [], [], [], []
+    for i in range(samples.num_samples):
+        real = samples.candidate_mask[i] > 0
+        label = samples.labels[i][real]
+        if label.mean() in (0.0, 1.0):
+            continue
+        cand_vecs = news_scoring[samples.candidates[i][real]]
+        score = cand_vecs @ user_vecs[i]
+        aucs.append(M.roc_auc_score(label, score))
+        mrrs.append(M.mrr_score(label, score))
+        n5s.append(M.ndcg_score(label, score, k=5))
+        n10s.append(M.ndcg_score(label, score, k=10))
+    return (np.mean(aucs), np.mean(mrrs), np.mean(n5s), np.mean(n10s),
+            len(aucs))
+
+
+def test_evaluate_impressions_matches_oracle(tiny_cfg, rng, model_and_params,
+                                             synthetic_dirs):
+    import os
+    from newsrecommendation_tpu.data import prepare_testing_data, read_news
+
+    model, params = model_and_params
+    _, dev_dir = synthetic_dirs
+    prepare_testing_data(dev_dir, 1)
+    cfg = tiny_cfg.replace(eval_batch_size=16, filter_num=0)
+    corpus = read_news(os.path.join(dev_dir, "news.tsv"), cfg, "test")
+    es = EvalSamples.from_file(os.path.join(dev_dir, "behaviors_0.tsv"),
+                               corpus.news_index, cfg)
+    news_scoring = np.asarray(
+        rng.normal(size=(corpus.num_news + 1, cfg.news_dim)), dtype=np.float32)
+
+    results = evaluate_impressions(model, params, cfg, es, news_scoring)
+
+    # oracle user vectors via the same encoder
+    hist_vecs = jnp.asarray(news_scoring)[jnp.asarray(es.history)]
+    user_vecs = np.array(model.user_encoder(params, cfg, hist_vecs,
+                                            jnp.asarray(es.history_mask)))
+    want_auc, want_mrr, want_n5, want_n10, n = _manual_eval(
+        es, news_scoring, user_vecs)
+
+    assert results["count"] == n
+    assert results["auc"] == pytest.approx(want_auc, abs=2e-4)
+    assert results["mrr"] == pytest.approx(want_mrr, abs=2e-4)
+    assert results["ndcg5"] == pytest.approx(want_n5, abs=2e-4)
+    assert results["ndcg10"] == pytest.approx(want_n10, abs=2e-4)
+
+
+def test_degenerate_impressions_excluded(tiny_cfg, rng, model_and_params):
+    model, params = model_and_params
+    cfg = tiny_cfg.replace(eval_batch_size=4)
+    L, C = cfg.user_log_length, 6
+    es = EvalSamples(
+        history=np.zeros((3, L), np.int32),
+        history_mask=np.zeros((3, L), np.float32),
+        candidates=np.ones((3, C), np.int32),
+        labels=np.array([[1, 0, 0, 0, 0, 0],
+                         [1, 1, 1, 0, 0, 0],   # all-1 among real -> excluded
+                         [0, 0, 0, 0, 0, 0]],  # all-0 -> excluded
+                        np.float32),
+        candidate_mask=np.array([[1, 1, 1, 0, 0, 0],
+                                 [1, 1, 1, 0, 0, 0],
+                                 [1, 1, 1, 0, 0, 0]], np.float32),
+    )
+    news_scoring = rng.normal(size=(5, cfg.news_dim)).astype(np.float32)
+    results = evaluate_impressions(model, params, cfg, es, news_scoring)
+    assert results["count"] == 1

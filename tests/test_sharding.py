@@ -1,0 +1,159 @@
+"""Multi-device SPMD on the 8-virtual-device CPU mesh: sharded embedding
+lookup, shard_map train step vs single-device reference, graft dry run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from newsrecommendation_tpu.models import get_model
+from newsrecommendation_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    table_sharding,
+)
+from newsrecommendation_tpu.parallel.sharded_embedding import (
+    gather_rows_sharded,
+    padded_rows,
+    shard_table,
+)
+from newsrecommendation_tpu.parallel.spmd import (
+    make_spmd_news_encoder,
+    make_spmd_train_step,
+    place_state,
+)
+from newsrecommendation_tpu.train import create_train_state
+from newsrecommendation_tpu.train.step import make_train_step
+
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+class TestShardedGather:
+    def test_matches_dense_take(self, rng):
+        mesh = make_mesh(data_parallel=1, table_shards=8)
+        table = rng.normal(size=(40, 16)).astype(np.float32)
+        padded = shard_table(table, 8)
+        assert padded.shape[0] == padded_rows(40, 8)
+        ids = rng.integers(0, 40, size=(6, 7)).astype(np.int32)
+
+        def lookup(local_table, ids):
+            return gather_rows_sharded(local_table, ids, "table")
+
+        mapped = shard_map(
+            lookup, mesh=mesh,
+            in_specs=(P("table", None), P()), out_specs=P(),
+            check_vma=False,
+        )
+        got = mapped(jnp.asarray(padded), jnp.asarray(ids))
+        np.testing.assert_allclose(np.array(got), table[ids], rtol=1e-6)
+
+
+class TestSpmdTrainStep:
+    def _setup(self, tiny_cfg, rng, dp, ts):
+        cfg = tiny_cfg.replace(
+            data_parallel=dp, table_shards=ts, deterministic=True,
+            batch_size=8, lr=0.01,
+        )
+        mesh = make_mesh(cfg)
+        model = get_model(cfg.model)
+        table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+        table[0] = 0.0
+        # pad before init so Adam moments share the padded shape (the same
+        # order cli._init_state uses)
+        init_table = shard_table(table, ts) if ts > 1 else table
+        params = model.init(jax.random.PRNGKey(0), cfg, init_table)
+        state = create_train_state(cfg, params)
+        r = np.random.default_rng(5)
+        b, l, k, f = cfg.batch_size, cfg.user_log_length, cfg.npratio, cfg.news_feature_width
+        batch = {
+            "history": jnp.asarray(r.integers(0, 30, size=(b, l, f)), jnp.int32),
+            "history_mask": jnp.asarray((r.random((b, l)) > 0.3).astype(np.float32)),
+            "candidate": jnp.asarray(r.integers(0, 30, size=(b, 1 + k, f)), jnp.int32),
+            "label": jnp.asarray(r.integers(0, k + 1, size=(b,)), jnp.int32),
+            "weight": jnp.ones((b,), jnp.float32),
+        }
+        return cfg, mesh, model, state, batch, table
+
+    @pytest.mark.parametrize("dp,ts", [(8, 1), (4, 2), (2, 4)])
+    def test_matches_single_device(self, tiny_cfg, rng, dp, ts):
+        cfg, mesh, model, state, batch, table = self._setup(tiny_cfg, rng, dp, ts)
+
+        # single-logical-device reference
+        ref_step = make_train_step(cfg, model, donate=False)
+        ref_state, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(0))
+
+        # spmd
+        spmd_state = place_state(state, mesh, ts > 1)
+        step = make_spmd_train_step(cfg, model, mesh, spmd_state, batch)
+        new_state, metrics = step(spmd_state, batch, jax.random.PRNGKey(0))
+
+        assert float(metrics["loss"]) == pytest.approx(
+            float(ref_metrics["loss"]), rel=1e-5)
+        assert float(metrics["acc"]) == pytest.approx(
+            float(ref_metrics["acc"]), rel=1e-5)
+        np.testing.assert_allclose(
+            np.array(new_state.params["news_encoder"]["attn"]["fc1"]["w"]),
+            np.array(ref_state.params["news_encoder"]["attn"]["fc1"]["w"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        # sharded table updates match the dense-table reference rows
+        if ts > 1:
+            got_table = np.array(new_state.params["embedding_table"])[:30]
+            np.testing.assert_allclose(
+                got_table,
+                np.array(ref_state.params["embedding_table"])[:30],
+                rtol=1e-4, atol=1e-6,
+            )
+
+    def test_weighted_partial_batch_exact(self, tiny_cfg, rng):
+        """Global weighted loss is exact even when padding is unevenly
+        distributed across data shards."""
+        cfg, mesh, model, state, batch, table = self._setup(tiny_cfg, rng, 8, 1)
+        w = np.ones(cfg.batch_size, np.float32)
+        w[-3:] = 0.0  # all padding lands in the last shard(s)
+        batch = dict(batch)
+        batch["weight"] = jnp.asarray(w)
+
+        ref_step = make_train_step(cfg, model, donate=False)
+        _, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(0))
+
+        spmd_state = replicate(mesh, state)
+        step = make_spmd_train_step(cfg, model, mesh, spmd_state, batch)
+        _, metrics = step(spmd_state, batch, jax.random.PRNGKey(0))
+        assert float(metrics["loss"]) == pytest.approx(
+            float(ref_metrics["loss"]), rel=1e-5)
+
+
+class TestSpmdNewsEncoder:
+    def test_matches_dense(self, tiny_cfg, rng):
+        cfg = tiny_cfg.replace(data_parallel=4, table_shards=2,
+                               deterministic=True)
+        mesh = make_mesh(cfg)
+        model = get_model(cfg.model)
+        table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+        table[0] = 0.0
+        params = model.init(jax.random.PRNGKey(0), cfg, shard_table(table, 2))
+        state = create_train_state(cfg, params)
+        feats = jnp.asarray(
+            rng.integers(0, 30, size=(16, cfg.news_feature_width)), jnp.int32)
+        want = model.news_encoder(params, cfg, feats)
+
+        spmd_state = place_state(state, mesh, True)
+        encode = make_spmd_news_encoder(cfg, model, mesh, spmd_state)
+        got = encode(spmd_state.params, feats)
+        np.testing.assert_allclose(np.array(got), np.array(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)

@@ -1,0 +1,138 @@
+"""Train step/state/loop: learning dynamics, freezing, weighted batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.models import get_model
+from newsrecommendation_tpu.train import create_train_state
+from newsrecommendation_tpu.train.state import trainable_mask
+from newsrecommendation_tpu.train.step import make_train_step
+
+
+def setup(tiny_cfg, rng, **cfg_overrides):
+    cfg = tiny_cfg.replace(**cfg_overrides)
+    model = get_model(cfg.model)
+    table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0.0
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    state = create_train_state(cfg, params)
+    return cfg, model, state
+
+
+def batch_of(rng, cfg, seed=0):
+    r = np.random.default_rng(seed)
+    b, l, k, f = cfg.batch_size, cfg.user_log_length, cfg.npratio, cfg.news_feature_width
+    return {
+        "history": jnp.asarray(r.integers(0, 30, size=(b, l, f)), jnp.int32),
+        "history_mask": jnp.asarray((r.random((b, l)) > 0.3).astype(np.float32)),
+        "candidate": jnp.asarray(r.integers(0, 30, size=(b, 1 + k, f)), jnp.int32),
+        "label": jnp.asarray(r.integers(0, k + 1, size=(b,)), jnp.int32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+
+
+def test_loss_decreases_on_fixed_batch(tiny_cfg, rng):
+    cfg, model, state = setup(tiny_cfg, rng, lr=0.01, deterministic=True)
+    step = make_train_step(cfg, model, donate=False)
+    batch = batch_of(rng, cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_step_counter_increments(tiny_cfg, rng):
+    cfg, model, state = setup(tiny_cfg, rng)
+    step = make_train_step(cfg, model, donate=False)
+    state, _ = step(state, batch_of(rng, cfg), jax.random.PRNGKey(0))
+    state, _ = step(state, batch_of(rng, cfg), jax.random.PRNGKey(0))
+    assert int(state.step) == 2
+
+
+def test_frozen_embedding_not_updated(tiny_cfg, rng):
+    cfg, model, state = setup(tiny_cfg, rng, freeze_embedding=True, lr=0.01)
+    table_before = np.array(state.params["embedding_table"])
+    step = make_train_step(cfg, model, donate=False)
+    for i in range(3):
+        state, _ = step(state, batch_of(rng, cfg, seed=i), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.array(state.params["embedding_table"]),
+                                  table_before)
+    # but the encoder weights did move
+    assert not np.allclose(
+        np.array(state.params["news_encoder"]["attn"]["fc1"]["w"]),
+        np.array(create_train_state(
+            cfg, get_model(cfg.model).init(
+                jax.random.PRNGKey(0), cfg, table_before)
+        ).params["news_encoder"]["attn"]["fc1"]["w"]),
+    )
+
+
+def test_unfrozen_embedding_updates(tiny_cfg, rng):
+    cfg, model, state = setup(tiny_cfg, rng, freeze_embedding=False, lr=0.01)
+    table_before = np.array(state.params["embedding_table"])
+    step = make_train_step(cfg, model, donate=False)
+    state, _ = step(state, batch_of(rng, cfg), jax.random.PRNGKey(0))
+    assert not np.allclose(np.array(state.params["embedding_table"]), table_before)
+
+
+def test_trainable_mask_structure(tiny_cfg, rng):
+    cfg, model, state = setup(tiny_cfg, rng, freeze_embedding=True)
+    mask = trainable_mask(state.params, cfg)
+    assert mask["embedding_table"] is False
+    assert mask["news_encoder"]["attn"]["fc1"]["w"] is True
+
+
+def test_padded_weight_batch_matches_unpadded_grads(tiny_cfg, rng):
+    """Gradient from a weight-padded batch == gradient from the short batch."""
+    cfg, model, state = setup(tiny_cfg, rng, deterministic=True)
+    full = batch_of(rng, cfg)
+    short = {k: v[:-2] for k, v in full.items()}
+    padded = dict(full)
+    w = np.ones(cfg.batch_size, np.float32)
+    w[-2:] = 0.0
+    padded["weight"] = jnp.asarray(w)
+
+    def grad_of(batch):
+        def loss_fn(p):
+            return model.forward(p, cfg, batch, deterministic=True)[0]
+        return jax.grad(loss_fn)(state.params)
+
+    g1 = grad_of(short)
+    g2 = grad_of(padded)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b),
+                                                rtol=1e-4, atol=1e-6),
+        g1, g2,
+    )
+
+
+def test_fit_loop_end_to_end(tiny_cfg, rng, synthetic_dirs, tmp_path):
+    import os
+    from newsrecommendation_tpu.data import (
+        TrainSamples, build_news_features, prepare_training_data, read_news,
+    )
+    from newsrecommendation_tpu.train.loop import fit
+
+    train_dir, _ = synthetic_dirs
+    cfg = tiny_cfg.replace(epochs=2, lr=0.003, log_steps=5, filter_num=0)
+    prepare_training_data(train_dir, 1, cfg.npratio, 0)
+    corpus = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
+    feats = build_news_features(corpus, cfg)
+    samples = TrainSamples.from_file(
+        os.path.join(train_dir, f"behaviors_np{cfg.npratio}_0.tsv"),
+        corpus.news_index, cfg)
+    model = get_model(cfg.model)
+    table = rng.normal(size=(len(corpus.word_dict) + 1,
+                             cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0
+    state = create_train_state(
+        cfg, model.init(jax.random.PRNGKey(0), cfg, table))
+    state, stats = fit(cfg, model, state, samples, feats,
+                       save_dir=str(tmp_path))
+    assert stats["examples"] == 2 * samples.num_samples
+    assert np.isfinite(stats["final_loss"])
+    assert (tmp_path / "epoch-2.ckpt").exists()
