@@ -208,7 +208,15 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
 
 def main(argv=None):
     setup_logger()
+    if os.environ.get("NEWSREC_DISTRIBUTED") == "1":
+        # multi-host bootstrap: coordinator/process info from the standard
+        # JAX env vars — replaces the reference's MASTER_ADDR/spawn
+        # (main.py:286-309)
+        jax.distributed.initialize()
     cfg = config_from_args(argv)
+    if cfg.nGPU > 1 and cfg.data_parallel == 0:
+        # reference compat: --nGPU N maps onto the data axis
+        cfg = cfg.replace(data_parallel=min(cfg.nGPU, len(jax.devices())))
     dump_config(cfg)
     Path(cfg.model_dir).mkdir(parents=True, exist_ok=True)
 

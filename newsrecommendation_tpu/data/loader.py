@@ -63,7 +63,15 @@ class TrainSamples:
         return self.neg.shape[1]
 
     @classmethod
-    def from_file(cls, path: str, news_index: Dict[str, int], cfg) -> "TrainSamples":
+    def from_file(cls, path: str, news_index: Dict[str, int], cfg,
+                  use_native: bool = True) -> "TrainSamples":
+        if use_native:
+            from newsrecommendation_tpu.data import native_loader
+            parsed = native_loader.parse_train_file(
+                path, news_index, cfg.user_log_length, cfg.npratio)
+            if parsed is not None:
+                h, m, p, n = parsed
+                return cls(history=h, history_mask=m, pos=p, neg=n)
         hist, mask, pos, neg = [], [], [], []
         with open(path, "r", encoding="utf-8") as f:
             for line in f:
@@ -165,7 +173,16 @@ class EvalSamples:
 
     @classmethod
     def from_file(cls, path: str, news_index: Dict[str, int], cfg,
-                  max_candidates: Optional[int] = None) -> "EvalSamples":
+                  max_candidates: Optional[int] = None,
+                  use_native: bool = True) -> "EvalSamples":
+        if use_native and max_candidates is not None:
+            from newsrecommendation_tpu.data import native_loader
+            parsed = native_loader.parse_eval_file(
+                path, news_index, cfg.user_log_length, max_candidates)
+            if parsed is not None:
+                h, m, c, l, cm = parsed
+                return cls(history=h, history_mask=m, candidates=c,
+                           labels=l, candidate_mask=cm)
         hist, mask, cand_lists, label_lists = [], [], [], []
         with open(path, "r", encoding="utf-8") as f:
             for line in f:

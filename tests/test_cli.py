@@ -1,0 +1,90 @@
+"""CLI integration: flag parsing, embeddings mode, end-to-end train_test."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.config import Config, config_from_args
+
+
+class TestConfigParsing:
+    def test_defaults_match_reference_flags(self):
+        cfg = config_from_args([])
+        # reference parameters.py defaults
+        assert cfg.batch_size == 32
+        assert cfg.npratio == 4
+        assert cfg.num_words_title == 20
+        assert cfg.user_log_length == 50
+        assert cfg.word_embedding_dim == 300
+        assert cfg.news_dim == 400
+        assert cfg.num_attention_heads == 20
+        assert cfg.drop_rate == 0.2
+        assert cfg.save_steps == 10000
+        assert cfg.category_emb_dim == 100
+
+    def test_str2bool_flags(self):
+        cfg = config_from_args(["--use_category", "True",
+                                "--freeze_embedding", "yes",
+                                "--user_log_mask", "0"])
+        assert cfg.use_category is True
+        assert cfg.freeze_embedding is True
+        assert cfg.user_log_mask is False
+
+    def test_invalid_model_rejected(self):
+        with pytest.raises(ValueError):
+            config_from_args(["--model", "LSTUR"])
+
+    def test_feature_width(self):
+        cfg = Config(title_source="word_ids", num_words_title=7,
+                     use_category=True)
+        assert cfg.news_feature_width == 8
+        cfg = Config(title_source="doc_table", use_subcategory=True)
+        assert cfg.news_feature_width == 2
+
+
+class TestCreateEmbeddingsMode:
+    def test_writes_fork_format_artifacts(self, synthetic_dirs):
+        from newsrecommendation_tpu.data.embeddings import (
+            create_news_embeddings,
+            read_news_embeddings,
+        )
+        train_dir, _ = synthetic_dirs
+        table = create_news_embeddings(train_dir, num_tokens_title=6, dim=16,
+                                       backend="hash")
+        # row 0 zero, flattened layout (preprocess.py:128-156 format)
+        assert table.shape[1] == 6 * 16
+        np.testing.assert_array_equal(table[0], 0)
+        assert os.path.exists(os.path.join(train_dir, "doc_id_dict.pkl"))
+        assert os.path.exists(os.path.join(train_dir, "embeddings_doc_ids.pkl"))
+        loaded = read_news_embeddings(train_dir)
+        np.testing.assert_allclose(loaded, table)
+
+    def test_deterministic_across_runs(self, synthetic_dirs):
+        from newsrecommendation_tpu.data.embeddings import create_news_embeddings
+        train_dir, _ = synthetic_dirs
+        t1 = create_news_embeddings(train_dir, 4, dim=8, backend="hash")
+        t2 = create_news_embeddings(train_dir, 4, dim=8, backend="hash")
+        np.testing.assert_array_equal(t1, t2)
+
+
+@pytest.mark.slow
+def test_main_train_test_end_to_end(synthetic_dirs, tmp_path):
+    from newsrecommendation_tpu.cli import main
+
+    train_dir, dev_dir = synthetic_dirs
+    main([
+        "--mode", "train_test", "--model", "NRMS",
+        "--title_source", "word_ids",
+        "--train_data_dir", train_dir, "--test_data_dir", dev_dir,
+        "--model_dir", str(tmp_path / "model"),
+        "--epochs", "2", "--batch_size", "8", "--lr", "0.003",
+        "--num_words_title", "6", "--user_log_length", "8",
+        "--word_embedding_dim", "16", "--news_dim", "16",
+        "--num_attention_heads", "4", "--news_query_vector_dim", "8",
+        "--user_query_vector_dim", "8", "--filter_num", "0",
+        "--log_steps", "50", "--eval_batch_size", "16",
+        "--max_candidates", "16",
+    ])
+    assert (tmp_path / "model" / "epoch-2.ckpt").exists()

@@ -1,0 +1,92 @@
+"""Native C++ parser vs the pure-Python reference parser."""
+
+import os
+
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.data import (
+    EvalSamples,
+    TrainSamples,
+    prepare_testing_data,
+    prepare_training_data,
+    read_news,
+)
+from newsrecommendation_tpu.data import native_loader
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture
+def prepared(synthetic_dirs, tiny_cfg):
+    train_dir, dev_dir = synthetic_dirs
+    prepare_training_data(train_dir, 1, tiny_cfg.npratio, 0)
+    prepare_testing_data(dev_dir, 1)
+    corpus_tr = read_news(os.path.join(train_dir, "news.tsv"), tiny_cfg, "train")
+    corpus_dev = read_news(os.path.join(dev_dir, "news.tsv"), tiny_cfg, "test")
+    return train_dir, dev_dir, corpus_tr, corpus_dev
+
+
+def test_train_parse_matches_python(prepared, tiny_cfg):
+    train_dir, _, corpus, _ = prepared
+    path = os.path.join(train_dir, f"behaviors_np{tiny_cfg.npratio}_0.tsv")
+    native = TrainSamples.from_file(path, corpus.news_index, tiny_cfg,
+                                    use_native=True)
+    python = TrainSamples.from_file(path, corpus.news_index, tiny_cfg,
+                                    use_native=False)
+    np.testing.assert_array_equal(native.history, python.history)
+    np.testing.assert_array_equal(native.history_mask, python.history_mask)
+    np.testing.assert_array_equal(native.pos, python.pos)
+    np.testing.assert_array_equal(native.neg, python.neg)
+
+
+def test_eval_parse_matches_python(prepared, tiny_cfg):
+    _, dev_dir, _, corpus = prepared
+    path = os.path.join(dev_dir, "behaviors_0.tsv")
+    native = EvalSamples.from_file(path, corpus.news_index, tiny_cfg,
+                                   max_candidates=16, use_native=True)
+    python = EvalSamples.from_file(path, corpus.news_index, tiny_cfg,
+                                   max_candidates=16, use_native=False)
+    np.testing.assert_array_equal(native.history, python.history)
+    np.testing.assert_array_equal(native.history_mask, python.history_mask)
+    np.testing.assert_array_equal(native.candidates, python.candidates)
+    np.testing.assert_array_equal(native.labels, python.labels)
+    np.testing.assert_array_equal(native.candidate_mask, python.candidate_mask)
+
+
+def test_unknown_ids_map_to_zero(prepared, tiny_cfg, tmp_path):
+    train_dir, _, corpus, _ = prepared
+    p = tmp_path / "behaviors.tsv"
+    p.write_text("1\tU1\ttime\tUNKNOWN_DOC N1\tN1\tN2 N3 UNKNOWN2 N4\n")
+    s = TrainSamples.from_file(str(p), corpus.news_index,
+                               tiny_cfg.replace(npratio=4), use_native=True)
+    assert s.num_samples == 1
+    # history: UNKNOWN_DOC -> 0, N1 -> its index, front-padded
+    assert s.history[0, -1] == corpus.news_index["N1"]
+    assert s.history[0, -2] == 0
+    assert s.history_mask[0, -2] == 1.0  # unknown still counts as a click slot
+    assert s.neg[0, 2] == 0  # UNKNOWN2 -> 0
+
+
+def test_native_is_faster_on_large_file(prepared, tiny_cfg, tmp_path):
+    import time
+    train_dir, _, corpus, _ = prepared
+    src = os.path.join(train_dir, f"behaviors_np{tiny_cfg.npratio}_0.tsv")
+    big = tmp_path / "big.tsv"
+    with open(src) as f:
+        content = f.read()
+    with open(big, "w") as f:
+        for _ in range(60):
+            f.write(content)
+
+    t0 = time.perf_counter()
+    TrainSamples.from_file(str(big), corpus.news_index, tiny_cfg,
+                           use_native=True)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    TrainSamples.from_file(str(big), corpus.news_index, tiny_cfg,
+                           use_native=False)
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python
