@@ -30,6 +30,8 @@ BASELINE_EPS = 1542.0
 def main():
     import jax
 
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from newsrecommendation_tpu.config import Config
     from newsrecommendation_tpu.models import get_model
     from newsrecommendation_tpu.train import create_train_state

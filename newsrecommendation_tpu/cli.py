@@ -99,6 +99,12 @@ def run_train(cfg: Config):
                         len(corpus.category_dict),
                         len(corpus.subcategory_dict), mesh)
 
+    # param-shape dump at model build (reference main.py:66-68)
+    logging.info("Model parameters:")
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        logging.info("  %s \t %s", name, tuple(leaf.shape))
+
     if cfg.load_ckpt_name:
         path = os.path.join(cfg.model_dir, cfg.load_ckpt_name)
         state, _ = load_checkpoint(path, state, cfg)
@@ -208,6 +214,14 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
 
 def main(argv=None):
     setup_logger()
+    try:
+        # rbg is markedly faster than threefry for dropout-mask generation
+        # on TPU (~10% step time at MIND-small config) and fully
+        # partitionable under shard_map; the stream identity is not part of
+        # reference parity.
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     if os.environ.get("NEWSREC_DISTRIBUTED") == "1":
         # multi-host bootstrap: coordinator/process info from the standard
         # JAX env vars — replaces the reference's MASTER_ADDR/spawn

@@ -104,19 +104,20 @@ def forward(params, cfg, batch, *, rng=None, deterministic=True,
     feat = batch["candidate"].shape[-1]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    k_cand, k_hist = jax.random.split(rng)
 
-    cand_flat = batch["candidate"].reshape(-1, feat)
-    cand_vecs = news_encoder(
-        params, cfg, cand_flat, rng=k_cand, deterministic=deterministic,
+    # Encode candidates and history in ONE news-encoder call — one kernel
+    # launch over B*(1+K+L) rows instead of two (the reference encodes them
+    # separately, NRMS.py:86-90); same math, bigger fused batches.
+    n_cand = b * (1 + cfg.npratio)
+    all_flat = jnp.concatenate(
+        [batch["candidate"].reshape(-1, feat),
+         batch["history"].reshape(-1, feat)], axis=0)
+    all_vecs = news_encoder(
+        params, cfg, all_flat, rng=rng, deterministic=deterministic,
         lookup=lookup,
-    ).reshape(b, 1 + cfg.npratio, cfg.news_dim)
-
-    hist_flat = batch["history"].reshape(-1, feat)
-    hist_vecs = news_encoder(
-        params, cfg, hist_flat, rng=k_hist, deterministic=deterministic,
-        lookup=lookup,
-    ).reshape(b, cfg.user_log_length, cfg.news_dim)
+    )
+    cand_vecs = all_vecs[:n_cand].reshape(b, 1 + cfg.npratio, cfg.news_dim)
+    hist_vecs = all_vecs[n_cand:].reshape(b, cfg.user_log_length, cfg.news_dim)
 
     user_vec = user_encoder(params, cfg, hist_vecs, batch["history_mask"])
     scores = score_candidates(cand_vecs, user_vec)

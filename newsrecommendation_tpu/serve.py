@@ -1,0 +1,128 @@
+"""Serving API: precomputed news-vector cache + fused batched impression
+scoring.
+
+The reference's de-facto serving path is its eval loop — news-encoder
+inference over the corpus, then per-impression numpy dots (main.py:185-253).
+This module packages that as a production-facing recommender: build once
+from a checkpoint (or a live train state), then score candidate sets for
+user histories in a single jitted gather + user-encode + dot computation.
+
+    rec = Recommender.from_checkpoint(ckpt_path, cfg, test_data_dir)
+    scores = rec.score(history_doc_ids, candidate_doc_ids)
+    ranked = rec.rank(history_doc_ids, candidate_doc_ids)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newsrecommendation_tpu.data.loader import pad_to_fix_len, trans_to_nindex
+from newsrecommendation_tpu.eval.pipeline import compute_news_scoring
+from newsrecommendation_tpu.models import get_model
+from newsrecommendation_tpu.ops.scoring import score_cached_impressions
+
+
+class Recommender:
+    """Whole-corpus news-vector cache + jitted impression scorer."""
+
+    def __init__(self, model, params, cfg, news_index: Dict[str, int],
+                 news_scoring):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.news_index = news_index
+        self.news_scoring = jnp.asarray(news_scoring)
+        self._score_jit = jax.jit(self._score_impl)
+
+    # ---- construction ----------------------------------------------------
+
+    @classmethod
+    def from_state(cls, cfg, params, news_index: Dict[str, int],
+                   news_features: np.ndarray, encode_fn=None) -> "Recommender":
+        model = get_model(cfg.model)
+        cache = compute_news_scoring(model, params, cfg, news_features,
+                                     encode_fn=encode_fn)
+        return cls(model, params, cfg, news_index, cache)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, cfg, data_dir: str) -> "Recommender":
+        """Load a checkpoint and build the cache from data_dir's corpus."""
+        import json
+        import os
+
+        from newsrecommendation_tpu.ckpt import load_checkpoint
+        from newsrecommendation_tpu.cli import build_embedding_table
+        from newsrecommendation_tpu.data import build_news_features, read_news
+        from newsrecommendation_tpu.train import create_train_state
+
+        with open(ckpt_path + ".json", "r", encoding="utf-8") as f:
+            sidecar = json.load(f)
+        corpus = read_news(
+            os.path.join(data_dir, "news.tsv"), cfg, "test",
+            category_dict=sidecar.get("category_dict", {}),
+            subcategory_dict=sidecar.get("subcategory_dict", {}),
+            word_dict=sidecar.get("word_dict", {}),
+        )
+        table = build_embedding_table(cfg, data_dir, corpus)
+        model = get_model(cfg.model)
+        template = create_train_state(
+            cfg, model.init(jax.random.PRNGKey(0), cfg, table,
+                            len(corpus.category_dict),
+                            len(corpus.subcategory_dict)))
+        state, _ = load_checkpoint(ckpt_path, template, cfg)
+        feats = build_news_features(corpus, cfg)
+        return cls.from_state(cfg, state.params, corpus.news_index, feats)
+
+    # ---- scoring ---------------------------------------------------------
+
+    def _score_impl(self, params, news_scoring, hist_idx, hist_mask, cand_idx):
+        hist_vecs = jnp.take(news_scoring, hist_idx, axis=0)
+        user_vecs = self.model.user_encoder(params, self.cfg, hist_vecs,
+                                            hist_mask)
+        return score_cached_impressions(news_scoring, cand_idx, user_vecs)
+
+    def _encode_requests(self, histories: Sequence[Sequence[str]],
+                         candidates: Sequence[Sequence[str]],
+                         max_candidates: int):
+        b = len(histories)
+        L = self.cfg.user_log_length
+        hist = np.zeros((b, L), np.int32)
+        mask = np.zeros((b, L), np.float32)
+        cand = np.zeros((b, max_candidates), np.int32)
+        for i, (h, c) in enumerate(zip(histories, candidates)):
+            row, m = pad_to_fix_len(trans_to_nindex(list(h), self.news_index), L)
+            hist[i], mask[i] = row, m
+            idx = trans_to_nindex(list(c)[:max_candidates], self.news_index)
+            cand[i, :len(idx)] = idx
+        return hist, mask, cand
+
+    def score_batch(self, histories: Sequence[Sequence[str]],
+                    candidates: Sequence[Sequence[str]],
+                    max_candidates: Optional[int] = None) -> np.ndarray:
+        """Scores (B, C) for B users' candidate lists (doc-id strings)."""
+        if max_candidates is None:
+            max_candidates = max((len(c) for c in candidates), default=1)
+        hist, mask, cand = self._encode_requests(histories, candidates,
+                                                 max_candidates)
+        out = self._score_jit(self.params, self.news_scoring,
+                              jnp.asarray(hist), jnp.asarray(mask),
+                              jnp.asarray(cand))
+        return np.asarray(out)
+
+    def score(self, history: Sequence[str],
+              candidates: Sequence[str]) -> np.ndarray:
+        """(C,) scores for one user."""
+        return self.score_batch([history], [candidates],
+                                max_candidates=len(candidates))[0]
+
+    def rank(self, history: Sequence[str],
+             candidates: Sequence[str]) -> List[str]:
+        """Candidates sorted by descending score."""
+        s = self.score(history, candidates)
+        order = np.argsort(-s, kind="stable")
+        return [list(candidates)[i] for i in order]
