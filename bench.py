@@ -27,6 +27,64 @@ import numpy as np
 BASELINE_EPS = 1542.0
 
 
+def bench_scoring_qps():
+    """Secondary benchmark (--qps): impression-scoring throughput against a
+    cached news-vector corpus — the serving path (BASELINE.json config 5).
+    Prints its own JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from newsrecommendation_tpu.config import Config
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.ops.scoring import score_cached_impressions
+
+    cfg = Config(model="NRMS", user_log_mask=True, deterministic=True)
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    num_news, C, B, L = 65536, 300, 512, cfg.user_log_length
+    params = model.init(
+        jax.random.PRNGKey(0), cfg,
+        rng.normal(0, 0.06, size=(100, cfg.word_embedding_dim))
+        .astype(np.float32))
+    cache = jnp.asarray(
+        rng.normal(size=(num_news, cfg.news_dim)).astype(np.float32))
+
+    @jax.jit
+    def score(params, cache, hist, mask, cand):
+        hist_vecs = jnp.take(cache, hist, axis=0)
+        user = model.user_encoder(params, cfg, hist_vecs, mask)
+        return score_cached_impressions(cache, cand, user)
+
+    def mkreq(seed):
+        r = np.random.default_rng(seed)
+        return (
+            jnp.asarray(r.integers(0, num_news, size=(B, L)), jnp.int32),
+            jnp.asarray((r.random((B, L)) > 0.3).astype(np.float32)),
+            jnp.asarray(r.integers(0, num_news, size=(B, C)), jnp.int32),
+        )
+
+    reqs = [mkreq(s) for s in range(8)]
+    acc = jnp.zeros(())
+    for i in range(4):
+        acc = acc + jnp.sum(score(params, cache, *reqs[i]))
+    float(acc)
+    iters = 100
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = acc + jnp.sum(score(params, cache, *reqs[i % 8]))
+    float(acc)
+    dt = time.perf_counter() - t0
+    qps = iters * B / dt
+    print(json.dumps({
+        "metric": "impression_scoring_qps",
+        "value": round(qps, 1),
+        "unit": "impressions/s",
+        "vs_baseline": 1.0,
+        "detail": f"{C} candidates per impression, history {L}",
+    }))
+
+
 def main():
     import jax
 
@@ -95,4 +153,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--qps" in sys.argv:
+        bench_scoring_qps()
+    else:
+        main()

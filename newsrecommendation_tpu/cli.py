@@ -16,11 +16,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from newsrecommendation_tpu.ckpt import (
-    latest_checkpoint,
-    load_checkpoint,
-    save_checkpoint,
-)
+from newsrecommendation_tpu.ckpt import latest_checkpoint, load_checkpoint
 from newsrecommendation_tpu.config import Config, config_from_args
 from newsrecommendation_tpu.data import (
     EvalSamples,
@@ -45,7 +41,7 @@ from newsrecommendation_tpu.eval import (
 )
 from newsrecommendation_tpu.models import get_model
 from newsrecommendation_tpu.parallel import make_mesh
-from newsrecommendation_tpu.parallel.mesh import replicate, table_sharding
+from newsrecommendation_tpu.parallel.mesh import table_sharding
 from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
 from newsrecommendation_tpu.parallel.spmd import (
     make_spmd_news_encoder,
@@ -106,22 +102,29 @@ def run_train(cfg: Config):
         logging.info("  %s \t %s", name, tuple(leaf.shape))
 
     if cfg.load_ckpt_name:
-        path = os.path.join(cfg.model_dir, cfg.load_ckpt_name)
+        # "latest" resolves to the newest epoch-E[-step] checkpoint — the
+        # restart-from-checkpoint recovery path needs no exact name
+        path = (latest_checkpoint(cfg.model_dir)
+                if cfg.load_ckpt_name == "latest"
+                else os.path.join(cfg.model_dir, cfg.load_ckpt_name))
+        assert path is not None, f"no checkpoint found in {cfg.model_dir}"
         state, _ = load_checkpoint(path, state, cfg)
 
     num_shards = mesh.shape["data"] if mesh is not None else 1
+    # The global batch spans the data axis; each PROCESS feeds its local
+    # devices from its own shard file (the reference's per-rank files map to
+    # per-host files on multi-host pods, prepare_data.py:39-47).
+    num_hosts = jax.process_count()
+    host_shard = jax.process_index()
     shard_path = os.path.join(
-        cfg.train_data_dir, f"behaviors_np{cfg.npratio}_0.tsv"
+        cfg.train_data_dir, f"behaviors_np{cfg.npratio}_{host_shard}.tsv"
     )
     if cfg.prepare or not os.path.exists(shard_path):
-        total = prepare_training_data(cfg.train_data_dir, 1, cfg.npratio,
-                                      cfg.seed)
+        total = prepare_training_data(cfg.train_data_dir, num_hosts,
+                                      cfg.npratio, cfg.seed)
         logging.info("%d training samples, %d batches",
                      total, total // (cfg.batch_size * num_shards))
 
-    # The global batch spans the data axis; one host feeds the whole mesh, so
-    # a single shard-0 file is read and split by the batch sharding (the
-    # reference's per-rank files map to per-host files on multi-host pods).
     samples = TrainSamples.from_file(shard_path, corpus.news_index, cfg)
 
     train_step = make_spmd_train_step(

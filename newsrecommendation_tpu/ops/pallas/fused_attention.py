@@ -139,7 +139,7 @@ def _fwd_call(q, k, v, n_heads, d_head, block_rows):
 
 def _bwd_call(q, k, v, g, n_heads, d_head, block_rows):
     n, t, hd = q.shape
-    bn = _block_rows(n, max(block_rows // 2, 1))
+    bn = _block_rows(n, block_rows)
     grid = (n // bn,)
     spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)

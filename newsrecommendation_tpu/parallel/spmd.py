@@ -21,8 +21,6 @@ run regardless of how padding lands across shards.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax

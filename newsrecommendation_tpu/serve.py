@@ -14,7 +14,6 @@ user histories in a single jitted gather + user-encode + dot computation.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from newsrecommendation_tpu.metrics import train_accuracy
 from newsrecommendation_tpu.train.state import TrainState, make_optimizer
 
 
