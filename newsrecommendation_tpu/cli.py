@@ -205,8 +205,10 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
     eval_samples = EvalSamples.from_file(
         shard_path, corpus.news_index, cfg, max_candidates=cfg.max_candidates
     )
-    results = evaluate_impressions(model, state.params, cfg, eval_samples,
-                                   news_scoring, log_every=cfg.log_steps)
+    results = evaluate_impressions(
+        model, state.params, cfg, eval_samples, news_scoring,
+        log_every=cfg.log_steps, mesh=mesh,
+    )
     logging.info(
         "[*] %d samples: AUC %.2f MRR %.2f nDCG5 %.2f nDCG10 %.2f",
         int(results["samples_seen"]), 100 * results["auc"],
@@ -231,6 +233,10 @@ def main(argv=None):
         # (main.py:286-309)
         jax.distributed.initialize()
     cfg = config_from_args(argv)
+    if cfg.debug_nans:
+        # fail fast with a traceback at the first NaN/Inf anywhere in the
+        # jitted step — the sanitizer mode the reference lacks (SURVEY §5)
+        jax.config.update("jax_debug_nans", True)
     if cfg.nGPU > 1 and cfg.data_parallel == 0:
         # reference compat: --nGPU N maps onto the data axis
         cfg = cfg.replace(data_parallel=min(cfg.nGPU, len(jax.devices())))

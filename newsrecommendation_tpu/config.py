@@ -80,6 +80,7 @@ class Config:
     donate_state: bool = True
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
+    debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     # ---- legacy/compat flags kept for CLI familiarity ----------------------

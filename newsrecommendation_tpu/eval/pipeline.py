@@ -107,20 +107,31 @@ def make_eval_step(model, cfg):
 
 
 def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
-                         log_every: Optional[int] = None) -> Dict[str, float]:
+                         log_every: Optional[int] = None,
+                         mesh=None) -> Dict[str, float]:
     """Run phase 2 over all impressions; returns mean metrics + sample count.
 
     Padded batch rows have all-zero candidate masks, so they are excluded by
     the degenerate-impression filter automatically — as are real impressions
-    with all-0/all-1 labels (reference main.py:250-251).
+    with all-0/all-1 labels (reference main.py:250-251). With a mesh, each
+    batch's rows are sharded over the 'data' axis so the user-encoder and
+    pairwise-AUC work spread across chips; the metric-sum reduction is the
+    psum analogue of the reference's dist.reduce (main.py:269-275).
     """
     eval_step = make_eval_step(model, cfg)
     news_scoring = jnp.asarray(news_scoring)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
     sums = {k: 0.0 for k in ("auc", "mrr", "ndcg5", "ndcg10", "count")}
     seen = 0
     for cnt, batch in enumerate(eval_samples.iter_batches(cfg.eval_batch_size)):
         dev_batch = {
-            k: jnp.asarray(v) for k, v in batch.items() if k != "num_real"
+            k: (jnp.asarray(v) if batch_sharding is None
+                else jax.device_put(v, batch_sharding))
+            for k, v in batch.items() if k != "num_real"
         }
         out = eval_step(params, news_scoring, dev_batch)
         for k in sums:

@@ -139,7 +139,9 @@ def _fwd_call(q, k, v, n_heads, d_head, block_rows):
 
 def _bwd_call(q, k, v, g, n_heads, d_head, block_rows):
     n, t, hd = q.shape
-    bn = _block_rows(n, block_rows)
+    # half-size blocks: backward holds 7 buffers in VMEM vs forward's 4,
+    # and full-size blocks blow up Mosaic compile time
+    bn = _block_rows(n, max(block_rows // 2, 1))
     grid = (n // bn,)
     spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -110,6 +110,36 @@ def test_padded_weight_batch_matches_unpadded_grads(tiny_cfg, rng):
     )
 
 
+def test_profile_trace_written(tiny_cfg, rng, tmp_path):
+    """cfg.profile_dir wraps the loop in jax.profiler.start/stop_trace."""
+    import os
+    from newsrecommendation_tpu.train.loop import fit
+    from newsrecommendation_tpu.data.loader import TrainSamples
+
+    cfg = tiny_cfg.replace(epochs=1, profile_dir=str(tmp_path / "trace"),
+                           log_steps=100)
+    model = get_model(cfg.model)
+    table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0
+    state = create_train_state(cfg, model.init(jax.random.PRNGKey(0), cfg, table))
+    r = np.random.default_rng(0)
+    n = 16
+    samples = TrainSamples(
+        history=r.integers(0, 30, size=(n, cfg.user_log_length)).astype(np.int32),
+        history_mask=np.ones((n, cfg.user_log_length), np.float32),
+        pos=r.integers(1, 30, size=(n,)).astype(np.int32),
+        neg=r.integers(1, 30, size=(n, cfg.npratio)).astype(np.int32),
+    )
+    feats = np.concatenate(
+        [np.zeros((1, cfg.news_feature_width), np.int32),
+         r.integers(0, 30, size=(29, cfg.news_feature_width)).astype(np.int32)])
+    fit(cfg, model, state, samples, feats)
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found, "no profiler trace files written"
+
+
 def test_fit_loop_end_to_end(tiny_cfg, rng, synthetic_dirs, tmp_path):
     import os
     from newsrecommendation_tpu.data import (
