@@ -121,9 +121,17 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     - Larger heads use batched MXU einsums.
     """
     b, s, _ = x.shape
-    qf = linear(params["wq"], x)
-    kf = linear(params["wk"], x)
-    vf = linear(params["wv"], x)
+    # One fused (d_model, 3*H*d) projection instead of three — a single
+    # MXU matmul; the per-step concat of the small weight blocks is free
+    # next to the (B*S, d_model) activation matmul it feeds.
+    wq, wk, wv = params["wq"], params["wk"], params["wv"]
+    w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1).astype(x.dtype)
+    bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
+    qkv = jnp.matmul(x, w) + bias
+    nq, nk = wq["w"].shape[1], wk["w"].shape[1]
+    qf = qkv[..., :nq]
+    kf = qkv[..., nq:nq + nk]
+    vf = qkv[..., nq + nk:]
 
     if mask is None and qf.shape[-1] % n_heads == 0:
         from newsrecommendation_tpu.ops.pallas import pallas_enabled

@@ -1,0 +1,104 @@
+"""Compare train-step wall time across configs (dtype, model, pallas mode).
+
+Runs each variant in one process on the current JAX backend using the
+memoization-safe protocol from tools/microbench.py. Usage:
+
+    python tools/bench_step.py [--model NRMS] [--iters 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def bench_variant(label, cfg, iters=50, warmup=4):
+    import jax
+
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.train import create_train_state
+    from newsrecommendation_tpu.train.step import make_train_step
+
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    vocab = 30000
+    table = rng.normal(0, 0.06, size=(vocab, cfg.word_embedding_dim)).astype(
+        np.float32)
+    table[0] = 0.0
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    state = create_train_state(cfg, params)
+    train_step = make_train_step(cfg, model)
+
+    f = cfg.news_feature_width
+    b = cfg.batch_size
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "history": jax.numpy.asarray(r.integers(
+                0, vocab, size=(b, cfg.user_log_length, f)), jax.numpy.int32),
+            "history_mask": jax.numpy.asarray(
+                (r.random((b, cfg.user_log_length)) > 0.3).astype(np.float32)),
+            "candidate": jax.numpy.asarray(r.integers(
+                0, vocab, size=(b, 1 + cfg.npratio, f)), jax.numpy.int32),
+            "label": jax.numpy.asarray(r.integers(
+                0, cfg.npratio + 1, size=(b,)), jax.numpy.int32),
+            "weight": jax.numpy.ones((b,), jax.numpy.float32),
+        }
+
+    batches = [make_batch(s) for s in range(8)]
+    base_rng = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        state, metrics = train_step(state, batches[i % 8], base_rng)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = train_step(state, batches[i % 8], base_rng)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label}: {dt * 1e3:.2f} ms/step = {b / dt:,.0f} examples/s",
+          flush=True)
+    return dt
+
+
+def main():
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from newsrecommendation_tpu.config import Config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="NRMS")
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    base = dict(
+        model=args.model, title_source="word_ids", num_words_title=20,
+        user_log_length=50, word_embedding_dim=300, news_dim=400,
+        news_query_vector_dim=200, user_query_vector_dim=200,
+        num_attention_heads=20, batch_size=128, npratio=4, drop_rate=0.2,
+        lr=3e-4, deterministic=False,
+    )
+    print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
+          flush=True)
+    for label, over in [
+        ("f32", {}),
+        ("bf16", {"compute_dtype": "bfloat16"}),
+        ("f32 no-pallas", {"use_pallas": "off"}),
+        ("bf16 no-pallas", {"compute_dtype": "bfloat16", "use_pallas": "off"}),
+    ]:
+        from newsrecommendation_tpu.ops.pallas import set_pallas_mode
+        set_pallas_mode(over.pop("use_pallas", "auto"))
+        bench_variant(label, Config(**{**base, **over}), iters=args.iters)
+
+
+if __name__ == "__main__":
+    main()
