@@ -133,11 +133,15 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     kf = qkv[..., nq:nq + nk]
     vf = qkv[..., nq + nk:]
 
-    if mask is None and qf.shape[-1] % n_heads == 0:
+    if qf.shape[-1] % n_heads == 0:
         from newsrecommendation_tpu.ops.pallas import pallas_enabled
         if pallas_enabled():
-            from newsrecommendation_tpu.ops.pallas import exp_mhsa
-            return exp_mhsa(qf, kf, vf, n_heads)
+            if mask is None:
+                from newsrecommendation_tpu.ops.pallas import exp_mhsa
+                return exp_mhsa(qf, kf, vf, n_heads)
+            from newsrecommendation_tpu.ops.pallas import exp_mhsa_masked
+            return exp_mhsa_masked(qf, kf, vf,
+                                   mask.astype(jnp.float32), n_heads)
 
     q = qf.reshape(b, s, n_heads, -1)
     k = kf.reshape(b, s, n_heads, -1)

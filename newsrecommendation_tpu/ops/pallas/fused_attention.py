@@ -106,6 +106,82 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
+def _masked_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, n_heads,
+                       d_head):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    mask = mask_ref[...].astype(jnp.float32)[:, None, :]  # (BN, 1, T_k)
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        qh = q[:, :, sl].astype(jnp.float32)
+        kh = k[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv                                       # (BN, T, T)
+        # reference semantics: mask multiplies AFTER the exp
+        # (model_utils.py:48-53); max over ALL keys matches
+        # ops/attention.py:masked_exp_normalize.
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m) * mask
+        den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
+        a = e / den
+        ctx = jax.lax.dot_general(
+            a, v[:, :, sl].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = ctx.astype(o_ref.dtype)
+
+
+def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, *, n_heads, d_head):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    mask = mask_ref[...].astype(jnp.float32)[:, None, :]
+    g = g_ref[...]
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        qh = q[:, :, sl].astype(jnp.float32)
+        kh = k[:, :, sl].astype(jnp.float32)
+        vh = v[:, :, sl].astype(jnp.float32)
+        gh = g[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m) * mask
+        den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
+        a = e / den
+        dv = jax.lax.dot_general(
+            a, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        da = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # a already carries the mask (a=0 on masked keys), so the unmasked
+        # normalization-backward formula is exact here too.
+        ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * inv
+        dq = jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
 def _block_rows(n: int, target: int) -> int:
     b = min(n, target)
     while n % b:
@@ -162,6 +238,88 @@ def _bwd_call(q, k, v, g, n_heads, d_head, block_rows):
             transcendentals=n * n_heads * t * t,
         ),
     )(q, k, v, g)
+
+
+def _masked_fwd_call(q, k, v, mask, n_heads, d_head, block_rows):
+    n, t, hd = q.shape
+    bn = _block_rows(n, block_rows)
+    grid = (n // bn,)
+    spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((bn, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_masked_fwd_kernel, n_heads=n_heads, d_head=d_head),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec, mspec],
+        out_specs=spec,
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * n_heads * t * t * d_head,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(q, k, v, mask)
+
+
+def _masked_bwd_call(q, k, v, mask, g, n_heads, d_head, block_rows):
+    n, t, hd = q.shape
+    bn = _block_rows(n, max(block_rows // 2, 1))
+    grid = (n // bn,)
+    spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((bn, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shapes = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(_masked_bwd_kernel, n_heads=n_heads, d_head=d_head),
+        out_shape=(shapes, shapes, shapes),
+        grid=grid,
+        in_specs=[spec, spec, spec, mspec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * n_heads * t * t * d_head,
+            bytes_accessed=7 * q.size * q.dtype.itemsize,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(q, k, v, mask, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def exp_mhsa_masked(q, k, v, key_mask, n_heads: int, block_rows: int = 128):
+    """Fused key-masked exp-normalized MHSA.
+
+    q, k, v: (N, T, n_heads*d_head); key_mask: (N, T) 0/1 float over keys.
+    Exact math of scaled_dot_product_attention with a key mask
+    (model_utils.py:47-53: mask multiplies after the exp, +1e-8 denominator;
+    a fully-masked row yields zeros, not uniform attention).
+    """
+    d_head = q.shape[-1] // n_heads
+    return _masked_fwd_call(q, k, v, key_mask, n_heads, d_head, block_rows)
+
+
+def _exp_mhsa_masked_fwd(q, k, v, key_mask, n_heads, block_rows):
+    d_head = q.shape[-1] // n_heads
+    out = _masked_fwd_call(q, k, v, key_mask, n_heads, d_head, block_rows)
+    return out, (q, k, v, key_mask)
+
+
+def _exp_mhsa_masked_bwd(n_heads, block_rows, res, g):
+    q, k, v, key_mask = res
+    d_head = q.shape[-1] // n_heads
+    dq, dk, dv = _masked_bwd_call(q, k, v, key_mask, g.astype(q.dtype),
+                                  n_heads, d_head, block_rows)
+    # masks are 0/1 batch data, never on a differentiable path
+    return dq, dk, dv, jnp.zeros_like(key_mask)
+
+
+exp_mhsa_masked.defvjp(_exp_mhsa_masked_fwd, _exp_mhsa_masked_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 
 from newsrecommendation_tpu.ops import attention as A
-from newsrecommendation_tpu.ops.pallas import exp_mhsa, set_pallas_mode
+from newsrecommendation_tpu.ops.pallas import (
+    exp_mhsa,
+    exp_mhsa_masked,
+    set_pallas_mode,
+)
 from newsrecommendation_tpu.ops.pallas.fused_attention import _block_rows
 
 
@@ -96,6 +100,66 @@ class TestExpMhsaBackward:
         for gk, gr in zip(g_kernel, g_ref):
             np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                        rtol=1e-3, atol=1e-4)
+
+
+def ref_attention_masked(q, k, v, mask, n_heads):
+    n, t, hd = q.shape
+    d = hd // n_heads
+    q4 = q.reshape(n, t, n_heads, d)
+    k4 = k.reshape(n, t, n_heads, d)
+    v4 = v.reshape(n, t, n_heads, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) / np.sqrt(d)
+    attn = A.masked_exp_normalize(scores, mask[:, None, None, :], axis=-1)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v4)
+    return ctx.reshape(n, t, hd)
+
+
+class TestExpMhsaMasked:
+    def test_matches_reference(self, rng):
+        q, k, v = make_qkv(rng)
+        mask = jnp.asarray((rng.random((12, 5)) > 0.4).astype(np.float32))
+        got = exp_mhsa_masked(q, k, v, mask, 3)
+        want = ref_attention_masked(q, k, v, mask, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fully_masked_row_is_zero(self, rng):
+        q, k, v = make_qkv(rng, n=4)
+        mask = jnp.ones((4, 5), jnp.float32).at[2].set(0.0)
+        got = exp_mhsa_masked(q, k, v, mask, 3)
+        np.testing.assert_allclose(np.asarray(got[2]), 0.0, atol=1e-7)
+
+    def test_grads_match_reference(self, rng):
+        q, k, v = make_qkv(rng, n=6, t=8, heads=4, d=4)
+        mask = jnp.asarray((rng.random((6, 8)) > 0.3).astype(np.float32))
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(jnp.tanh(exp_mhsa_masked(q, k, v, mask, 4)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.tanh(ref_attention_masked(q, k, v, mask, 4)))
+
+        g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_mhsa_routes_masked_kernel(self, rng):
+        from newsrecommendation_tpu.ops import (
+            init_multi_head_self_attention,
+            multi_head_self_attention,
+        )
+        params = init_multi_head_self_attention(jax.random.PRNGKey(0), 16, 4, 4)
+        x = jnp.asarray(rng.normal(size=(6, 5, 16)).astype(np.float32))
+        mask = jnp.asarray((rng.random((6, 5)) > 0.4).astype(np.float32))
+        got = multi_head_self_attention(params, x, mask, n_heads=4)
+        set_pallas_mode("off")
+        want = multi_head_self_attention(params, x, mask, n_heads=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestMhsaIntegration:
