@@ -44,6 +44,7 @@ from newsrecommendation_tpu.parallel import make_mesh
 from newsrecommendation_tpu.parallel.mesh import table_sharding
 from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
 from newsrecommendation_tpu.parallel.spmd import (
+    make_spmd_multi_step,
     make_spmd_news_encoder,
     make_spmd_train_step,
     place_state,
@@ -127,10 +128,15 @@ def run_train(cfg: Config):
 
     samples = TrainSamples.from_file(shard_path, corpus.news_index, cfg)
 
-    train_step = make_spmd_train_step(
-        cfg, model, mesh, state,
-        batch_example=next(samples.iter_batches(
-            news_features, cfg.batch_size * num_shards, epoch=0, seed=0)),
+    batch_example = next(samples.iter_batches(
+        news_features, cfg.batch_size * num_shards, epoch=0, seed=0))
+    train_step = make_spmd_train_step(cfg, model, mesh, state,
+                                      batch_example=batch_example)
+    multi_step = (
+        make_spmd_multi_step(cfg, model, mesh, state,
+                             batch_example=batch_example,
+                             steps_per_call=cfg.steps_per_call)
+        if cfg.steps_per_call > 1 else None
     )
 
     vocabs = {
@@ -140,7 +146,8 @@ def run_train(cfg: Config):
     }
     global_cfg = cfg.replace(batch_size=cfg.batch_size * num_shards)
     state, stats = fit(global_cfg, model, state, samples, news_features,
-                       mesh=mesh, train_step=train_step, vocabs=vocabs,
+                       mesh=mesh, train_step=train_step,
+                       multi_step=multi_step, vocabs=vocabs,
                        save_dir=cfg.model_dir)
     logging.info("training done: %s", stats)
     return state, vocabs, stats

@@ -78,6 +78,7 @@ class Config:
     eval_news_chunk: int = 1024  # corpus chunk for news-vector precompute
     max_candidates: int = 384  # impression padding width at eval (MIND dev max ~300)
     donate_state: bool = True
+    steps_per_call: int = 1  # k>1: lax.scan k optimizer steps per dispatch
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
@@ -102,6 +103,9 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
+        if self.steps_per_call < 1:
+            raise ValueError(f"steps_per_call must be >= 1, "
+                             f"got {self.steps_per_call}")
 
     @property
     def dim_per_head(self) -> int:

@@ -63,6 +63,14 @@ def shard_batch(mesh: Optional[Mesh], batch: dict) -> dict:
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 
+def shard_stacked_batch(mesh: Optional[Mesh], stacked: dict) -> dict:
+    """Place a (k, B, ...) stack of k batches; batch dim (axis 1) over 'data'."""
+    if mesh is None:
+        return {k: jax.device_put(v) for k, v in stacked.items()}
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {k: jax.device_put(v, s) for k, v in stacked.items()}
+
+
 def replicate(mesh: Optional[Mesh], tree):
     """Replicate a pytree (params/state) across the mesh."""
     if mesh is None:

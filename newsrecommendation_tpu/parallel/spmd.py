@@ -78,18 +78,14 @@ def place_state(state: TrainState, mesh, table_sharded: bool) -> TrainState:
     return jax.tree_util.tree_map_with_path(place, state)
 
 
-def make_spmd_train_step(cfg, model, mesh, state: TrainState, batch_example: dict):
-    """Build the jitted shard_map train step for this mesh/state structure."""
-    table_sharded = cfg.table_shards > 1
-    st_specs = state_pspecs(state, table_sharded)
-    b_specs = batch_pspecs(batch_example)
+def _table_lookup(cfg):
+    if cfg.table_shards > 1:
+        return lambda table, ids: gather_rows_sharded(table, ids, TABLE_AXIS)
+    return lambda table, ids: jnp.take(table, ids, axis=0)
 
-    lookup = (
-        (lambda table, ids: gather_rows_sharded(table, ids, TABLE_AXIS))
-        if table_sharded else
-        (lambda table, ids: jnp.take(table, ids, axis=0))
-    )
 
+def _spmd_step_body(cfg, model, lookup):
+    """Per-device step body (runs inside shard_map)."""
     def step(state, batch, base_rng):
         # distinct dropout stream per data shard (each DDP rank had its own)
         rng = jax.random.fold_in(
@@ -129,9 +125,50 @@ def make_spmd_train_step(cfg, model, mesh, state: TrainState, batch_example: dic
             {"loss": loss, "acc": acc},
         )
 
+    return step
+
+
+def make_spmd_train_step(cfg, model, mesh, state: TrainState,
+                         batch_example: dict):
+    """Build the jitted shard_map train step for this mesh/state structure."""
+    table_sharded = cfg.table_shards > 1
+    st_specs = state_pspecs(state, table_sharded)
+    b_specs = batch_pspecs(batch_example)
+    step = _spmd_step_body(cfg, model, _table_lookup(cfg))
+
     mapped = shard_map(
         step, mesh=mesh,
         in_specs=(st_specs, b_specs, P()),
+        out_specs=(st_specs, {"loss": P(), "acc": P()}),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if cfg.donate_state else ())
+
+
+def make_spmd_multi_step(cfg, model, mesh, state: TrainState,
+                         batch_example: dict, steps_per_call: int):
+    """k SPMD train steps per dispatch: lax.scan over stacked batches INSIDE
+    shard_map, so one XLA program covers k optimizer updates including all
+    per-step collectives (see train/step.py:make_multi_step for why).
+
+    stacked batches: every leaf (k, B, ...), batch dim sharded over 'data'.
+    Returns per-step metric arrays of shape (k,).
+    """
+    table_sharded = cfg.table_shards > 1
+    st_specs = state_pspecs(state, table_sharded)
+    sb_specs = {k: P(None, DATA_AXIS) for k in batch_example}
+    step = _spmd_step_body(cfg, model, _table_lookup(cfg))
+
+    def multi(state, stacked_batches, base_rng):
+        def body(st, batch):
+            return step(st, batch, base_rng)
+
+        return jax.lax.scan(body, state, stacked_batches,
+                            length=steps_per_call)
+
+    mapped = shard_map(
+        multi, mesh=mesh,
+        in_specs=(st_specs, sb_specs, P()),
         out_specs=(st_specs, {"loss": P(), "acc": P()}),
         check_vma=False,
     )

@@ -17,20 +17,28 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from newsrecommendation_tpu.ckpt import save_checkpoint
-from newsrecommendation_tpu.parallel.mesh import shard_batch
-from newsrecommendation_tpu.train.step import make_train_step
+from newsrecommendation_tpu.parallel.mesh import (
+    shard_batch,
+    shard_stacked_batch,
+)
+from newsrecommendation_tpu.train.step import make_multi_step, make_train_step
 
 
 def fit(cfg, model, state, samples, news_features, *, mesh=None,
-        train_step=None, vocabs: Optional[dict] = None,
+        train_step=None, multi_step=None, vocabs: Optional[dict] = None,
         save_dir: Optional[str] = None) -> Dict[str, float]:
     """Train for cfg.epochs over `samples`; returns (state, stats).
 
     samples: data.loader.TrainSamples; news_features: combined feature matrix.
     train_step: optional pre-built step (e.g. the spmd shard_map step);
-    defaults to the single-logical-device jit step.
+    defaults to the single-logical-device jit step. multi_step: matching
+    k-steps-per-dispatch program (spmd.make_spmd_multi_step) when
+    cfg.steps_per_call > 1; built automatically for the default step.
     """
+    custom_step = train_step is not None
     if train_step is None:
         train_step = make_train_step(cfg, model)
     vocabs = vocabs or {}
@@ -39,43 +47,87 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
     total_examples = 0
     total_steps = 0
     t_start = None  # set after the first step so compile time is excluded
+    t0_examples = 0
     profiling = False
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
         profiling = True
 
     metrics = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+    k = cfg.steps_per_call
+    if k > 1 and multi_step is None:
+        if custom_step:
+            logging.warning(
+                "steps_per_call=%d ignored: a custom train_step was supplied "
+                "without a matching multi_step", k)
+            k = 1
+        else:
+            multi_step = make_multi_step(cfg, model, k)
+
+    def after_step(ep, cnt, loss_a, acc_a, n_examples):
+        """Logging/checkpoint bookkeeping shared by both dispatch paths.
+
+        loss_a/acc_a: zero-arg callables returning host floats — only
+        invoked at log points so off-log steps stay sync-free.
+        """
+        nonlocal total_steps, total_examples, t_start, t0_examples
+        total_steps += 1
+        total_examples += n_examples
+        if cnt % cfg.log_steps == 0:
+            loss_v, acc_v = loss_a(), acc_a()
+            if t_start is None:
+                t_start = time.perf_counter()
+                t0_examples = total_examples
+            elapsed = max(time.perf_counter() - t_start, 1e-9)
+            eps = (total_examples - t0_examples) / elapsed
+            logging.info(
+                "[%d] Ed: %d, train_loss: %.5f, acc: %.5f, ex/s: %.1f",
+                ep, cnt * cfg.batch_size, loss_v, acc_v, eps,
+            )
+        if save_dir and cnt != 0 and cnt % cfg.save_steps == 0:
+            save_checkpoint(save_dir, f"epoch-{ep + 1}-{cnt}.ckpt",
+                            state, cfg, **vocabs)
+
     try:
         for ep in range(cfg.start_epoch, cfg.epochs):
-            loss_sum, acc_sum = 0.0, 0.0
-            for cnt, batch in enumerate(
-                samples.iter_batches(news_features, cfg.batch_size,
-                                     epoch=ep, seed=cfg.seed)
-            ):
+            cnt = -1
+            pending = []  # host batches awaiting a k-step dispatch
+            for batch in samples.iter_batches(news_features, cfg.batch_size,
+                                              epoch=ep, seed=cfg.seed):
+                if k == 1:
+                    cnt += 1
+                    dev_batch = shard_batch(mesh, batch)
+                    state, metrics = train_step(state, dev_batch, base_rng)
+                    after_step(ep, cnt,
+                               lambda: float(metrics["loss"]),
+                               lambda: float(metrics["acc"]),
+                               int(batch["weight"].sum()))
+                    continue
+                pending.append(batch)
+                if len(pending) < k:
+                    continue
+                stacked = {key: np.stack([b[key] for b in pending])
+                           for key in pending[0]}
+                dev = shard_stacked_batch(mesh, stacked)
+                state, ms = multi_step(state, dev, base_rng)
+                metrics = {"loss": ms["loss"][-1], "acc": ms["acc"][-1]}
+                for j, b in enumerate(pending):
+                    cnt += 1
+                    after_step(ep, cnt,
+                               lambda j=j: float(ms["loss"][j]),
+                               lambda j=j: float(ms["acc"][j]),
+                               int(b["weight"].sum()))
+                pending = []
+
+            # leftover (< k) batches at epoch end go through the 1-step path
+            for batch in pending:
+                cnt += 1
                 dev_batch = shard_batch(mesh, batch)
                 state, metrics = train_step(state, dev_batch, base_rng)
-                total_steps += 1
-                total_examples += int(batch["weight"].sum())
-
-                if cnt % cfg.log_steps == 0:
-                    # host sync happens here only
-                    loss_v = float(metrics["loss"])
-                    acc_v = float(metrics["acc"])
-                    loss_sum += loss_v
-                    acc_sum += acc_v
-                    if t_start is None:
-                        t_start = time.perf_counter()
-                        t0_examples = total_examples
-                    elapsed = max(time.perf_counter() - t_start, 1e-9)
-                    eps = (total_examples - t0_examples) / elapsed
-                    logging.info(
-                        "[%d] Ed: %d, train_loss: %.5f, acc: %.5f, ex/s: %.1f",
-                        ep, cnt * cfg.batch_size, loss_v, acc_v, eps,
-                    )
-
-                if (save_dir and cnt != 0 and cnt % cfg.save_steps == 0):
-                    save_checkpoint(save_dir, f"epoch-{ep + 1}-{cnt}.ckpt",
-                                    state, cfg, **vocabs)
+                after_step(ep, cnt,
+                           lambda: float(metrics["loss"]),
+                           lambda: float(metrics["acc"]),
+                           int(batch["weight"].sum()))
 
             logging.info("epoch %d finished", ep)
             if save_dir:

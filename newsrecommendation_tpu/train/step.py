@@ -23,11 +23,13 @@ def weighted_accuracy(labels, scores, weights):
     return jnp.sum(hit * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def make_train_step(cfg, model, donate: bool | None = None):
-    """Returns train_step(state, batch, base_rng) -> (state, metrics dict).
+def _make_step_body(cfg, model):
+    """The un-jitted step: (state, batch, base_rng) -> (state, metrics).
 
     base_rng is a fixed per-run key; per-step dropout keys are derived by
-    folding in the step counter, so the step stays cacheable under jit.
+    folding in the step counter, so the same body is bit-identical whether
+    dispatched one step at a time (make_train_step) or scanned k steps per
+    dispatch (make_multi_step).
     """
     def loss_fn(params, batch, rng):
         loss, scores = model.forward(
@@ -37,7 +39,7 @@ def make_train_step(cfg, model, donate: bool | None = None):
         acc = weighted_accuracy(batch["label"], scores, batch["weight"])
         return loss, acc
 
-    def train_step(state: TrainState, batch, base_rng):
+    def step_body(state: TrainState, batch, base_rng):
         tx = make_optimizer(cfg, state.params)
         rng = jax.random.fold_in(base_rng, state.step)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -48,6 +50,42 @@ def make_train_step(cfg, model, donate: bool | None = None):
         new_state = TrainState(state.step + 1, params, opt_state)
         return new_state, {"loss": loss, "acc": acc}
 
+    return step_body
+
+
+def make_train_step(cfg, model, donate: bool | None = None):
+    """Returns jitted train_step(state, batch, base_rng) -> (state, metrics)."""
     if donate is None:
         donate = cfg.donate_state
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(_make_step_body(cfg, model),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(cfg, model, steps_per_call: int,
+                    donate: bool | None = None):
+    """k sequential train steps in ONE dispatched XLA computation.
+
+    Returns multi_step(state, stacked_batches, base_rng) -> (state, metrics)
+    where every leaf of stacked_batches has a leading axis of length
+    steps_per_call. The steps run under ``lax.scan``, so one host->device
+    dispatch covers k optimizer updates — amortizing per-call runtime
+    latency (significant over the remote-TPU tunnel, and at pod scale it
+    keeps the host out of the step-time critical path). Math is identical
+    to k single dispatches: dropout keys fold in the absolute step counter.
+
+    metrics are the per-step arrays (leading axis k) so callers can log any
+    granularity without extra device syncs.
+    """
+    step_body = _make_step_body(cfg, model)
+
+    def multi_step(state: TrainState, stacked_batches, base_rng):
+        def body(st, batch):
+            return step_body(st, batch, base_rng)
+
+        state, metrics = jax.lax.scan(body, state, stacked_batches,
+                                      length=steps_per_call)
+        return state, metrics
+
+    if donate is None:
+        donate = cfg.donate_state
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())

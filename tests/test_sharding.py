@@ -19,6 +19,7 @@ from newsrecommendation_tpu.parallel.sharded_embedding import (
     shard_table,
 )
 from newsrecommendation_tpu.parallel.spmd import (
+    make_spmd_multi_step,
     make_spmd_news_encoder,
     make_spmd_train_step,
     place_state,
@@ -112,6 +113,58 @@ class TestSpmdTrainStep:
                 np.array(ref_state.params["embedding_table"])[:30],
                 rtol=1e-4, atol=1e-6,
             )
+
+    @pytest.mark.parametrize("dp,ts", [(8, 1), (4, 2)])
+    def test_multi_step_matches_sequential_spmd(self, tiny_cfg, rng, dp, ts):
+        """k scanned SPMD steps (scan inside shard_map, collectives and all)
+        == k sequential SPMD dispatches."""
+        cfg, mesh, model, state, batch, table = self._setup(
+            tiny_cfg, rng, dp, ts)
+        # both programs consume the SAME placed state (device_put aliases
+        # buffers already on the right devices) — donation must be off
+        cfg = cfg.replace(donate_state=False)
+        b, l, k, f = (cfg.batch_size, cfg.user_log_length, cfg.npratio,
+                      cfg.news_feature_width)
+
+        def mkbatch(seed):
+            rr = np.random.default_rng(seed)
+            return {
+                "history": jnp.asarray(
+                    rr.integers(0, 30, size=(b, l, f)), jnp.int32),
+                "history_mask": jnp.asarray(
+                    (rr.random((b, l)) > 0.3).astype(np.float32)),
+                "candidate": jnp.asarray(
+                    rr.integers(0, 30, size=(b, 1 + k, f)), jnp.int32),
+                "label": jnp.asarray(
+                    rr.integers(0, k + 1, size=(b,)), jnp.int32),
+                "weight": jnp.ones((b,), jnp.float32),
+            }
+
+        batches = [mkbatch(s) for s in range(3)]
+        key = jax.random.PRNGKey(2)
+
+        # two independent placements: the steps donate their state argument
+        st_seq = place_state(state, mesh, ts > 1)
+        step = make_spmd_train_step(cfg, model, mesh, st_seq, batches[0])
+        for bt in batches:
+            st_seq, m_seq = step(st_seq, bt, key)
+
+        st0 = place_state(state, mesh, ts > 1)
+        multi = make_spmd_multi_step(cfg, model, mesh, st0,
+                                     batches[0], steps_per_call=3)
+        stacked = {kk: jnp.stack([bt[kk] for bt in batches])
+                   for kk in batches[0]}
+        st_multi, ms = multi(st0, stacked, key)
+
+        assert int(st_multi.step) == 3
+        assert ms["loss"].shape == (3,)
+        assert float(ms["loss"][-1]) == pytest.approx(
+            float(m_seq["loss"]), rel=1e-5)
+        np.testing.assert_allclose(
+            np.array(st_multi.params["news_encoder"]["attn"]["fc1"]["w"]),
+            np.array(st_seq.params["news_encoder"]["attn"]["fc1"]["w"]),
+            rtol=1e-4, atol=1e-6,
+        )
 
     def test_weighted_partial_batch_exact(self, tiny_cfg, rng):
         """Global weighted loss is exact even when padding is unevenly

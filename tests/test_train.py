@@ -8,7 +8,7 @@ import pytest
 from newsrecommendation_tpu.models import get_model
 from newsrecommendation_tpu.train import create_train_state
 from newsrecommendation_tpu.train.state import trainable_mask
-from newsrecommendation_tpu.train.step import make_train_step
+from newsrecommendation_tpu.train.step import make_multi_step, make_train_step
 
 
 def setup(tiny_cfg, rng, **cfg_overrides):
@@ -108,6 +108,67 @@ def test_padded_weight_batch_matches_unpadded_grads(tiny_cfg, rng):
                                                 rtol=1e-4, atol=1e-6),
         g1, g2,
     )
+
+
+def test_multi_step_matches_sequential(tiny_cfg, rng):
+    """k scanned steps in one dispatch == k single dispatches, including the
+    per-step dropout streams (both fold the absolute step counter)."""
+    cfg, model, state = setup(tiny_cfg, rng, drop_rate=0.2,
+                              deterministic=False, lr=0.01)
+    single = make_train_step(cfg, model, donate=False)
+    multi = make_multi_step(cfg, model, 4, donate=False)
+    batches = [batch_of(rng, cfg, seed=i) for i in range(4)]
+    key = jax.random.PRNGKey(3)
+
+    st_seq = state
+    for b in batches:
+        st_seq, m_seq = single(st_seq, b, key)
+
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    st_multi, ms = multi(state, stacked, key)
+
+    assert int(st_multi.step) == 4
+    assert ms["loss"].shape == (4,)
+    assert float(ms["loss"][-1]) == pytest.approx(float(m_seq["loss"]),
+                                                  rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b),
+                                                rtol=1e-4, atol=1e-6),
+        st_multi.params, st_seq.params,
+    )
+
+
+def test_fit_steps_per_call_with_leftover(tiny_cfg, rng):
+    """fit() with steps_per_call>1 on a batch count NOT divisible by k: the
+    leftover goes through the 1-step path; counters stay exact."""
+    from newsrecommendation_tpu.data.loader import TrainSamples
+    from newsrecommendation_tpu.train.loop import fit
+
+    cfg = tiny_cfg.replace(epochs=1, steps_per_call=3, log_steps=2,
+                           deterministic=True)
+    model = get_model(cfg.model)
+    table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0
+    state = create_train_state(cfg, model.init(jax.random.PRNGKey(0), cfg,
+                                               table))
+    r = np.random.default_rng(0)
+    n = cfg.batch_size * 7 + 1  # 8 batches (last partial) = 2 chunks + 2 left
+    samples = TrainSamples(
+        history=r.integers(0, 30, size=(n, cfg.user_log_length)).astype(
+            np.int32),
+        history_mask=np.ones((n, cfg.user_log_length), np.float32),
+        pos=r.integers(1, 30, size=(n,)).astype(np.int32),
+        neg=r.integers(1, 30, size=(n, cfg.npratio)).astype(np.int32),
+    )
+    feats = np.concatenate(
+        [np.zeros((1, cfg.news_feature_width), np.int32),
+         r.integers(0, 30, size=(29, cfg.news_feature_width)).astype(
+             np.int32)])
+    state, stats = fit(cfg, model, state, samples, feats)
+    assert stats["steps"] == 8
+    assert int(state.step) == 8
+    assert stats["examples"] == n
+    assert np.isfinite(stats["final_loss"])
 
 
 def test_profile_trace_written(tiny_cfg, rng, tmp_path):
