@@ -9,6 +9,7 @@ both models, selected by ``cfg.title_source``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -16,6 +17,19 @@ import optax
 def default_lookup(table, ids):
     """Dense embedding-row gather; swapped for a sharded lookup under a mesh."""
     return jnp.take(table, ids, axis=0)
+
+
+def frozen_table(table, cfg):
+    """stop_gradient on the embedding table when cfg.freeze_embedding.
+
+    The optimizer already zeroes the table's updates (train/state.py), but
+    without this XLA still materializes the gradient — a scatter-add of
+    every looked-up row back into the full table, the single most expensive
+    op in the backward pass on TPU. stop_gradient removes it from the
+    autodiff graph entirely; the zeroed optimizer branch stays as
+    belt-and-braces.
+    """
+    return jax.lax.stop_gradient(table) if cfg.freeze_embedding else table
 
 
 def title_word_vecs(table, features, cfg, lookup=default_lookup):

@@ -85,7 +85,8 @@ def news_encoder(params, cfg, features, mask=None, *, rng=None,
     title_w = cfg.num_words_title if cfg.title_source == "word_ids" else 1
 
     word_vecs = common.title_word_vecs(
-        params["embedding_table"], features, cfg, lookup
+        common.frozen_table(params["embedding_table"], cfg), features, cfg,
+        lookup,
     ).astype(jnp.dtype(cfg.compute_dtype))
     if not deterministic:
         word_vecs = dropout(rng, word_vecs, cfg.drop_rate, deterministic)

@@ -64,7 +64,8 @@ def news_encoder(params, cfg, features, mask=None, *, rng=None,
     """features: (B, F) int32 -> news vectors (B, news_dim)."""
     p = params["news_encoder"]
     word_vecs = common.title_word_vecs(
-        params["embedding_table"], features, cfg, lookup
+        common.frozen_table(params["embedding_table"], cfg), features, cfg,
+        lookup,
     ).astype(jnp.dtype(cfg.compute_dtype))
     if not deterministic:
         k1, k2 = jax.random.split(rng)

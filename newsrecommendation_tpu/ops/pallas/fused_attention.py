@@ -40,8 +40,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads, d_head):
     inv = 1.0 / math.sqrt(d_head)
     for h in range(n_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
-        qh = q[:, :, sl].astype(jnp.float32)
-        kh = k[:, :, sl].astype(jnp.float32)
+        # raw-dtype operands: bf16 inputs drive the MXU natively (a forced
+        # f32 upcast makes every matmul take the slow f32 path); the f32
+        # accumulate comes from preferred_element_type.
+        qh = q[:, :, sl]
+        kh = k[:, :, sl]
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -50,8 +53,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads, d_head):
         e = jnp.exp(s - m)
         den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
         a = e / den
+        vh = v[:, :, sl]
+        # a in the value dtype mirrors the XLA path's attn.astype(v.dtype)
         ctx = jax.lax.dot_general(
-            a, v[:, :, sl].astype(jnp.float32),
+            a.astype(vh.dtype), vh,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                             # (BN, T, D)
@@ -67,11 +72,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     inv = 1.0 / math.sqrt(d_head)
     for h in range(n_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
-        qh = q[:, :, sl].astype(jnp.float32)
-        kh = k[:, :, sl].astype(jnp.float32)
-        vh = v[:, :, sl].astype(jnp.float32)
-        gh = g[:, :, sl].astype(jnp.float32)
-        # recompute forward attention
+        qh = q[:, :, sl]
+        kh = k[:, :, sl]
+        vh = v[:, :, sl]
+        gh = g[:, :, sl]
+        # recompute forward attention (raw-dtype matmul operands, f32
+        # accumulate — see _fwd_kernel)
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -80,9 +86,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         e = jnp.exp(s - m)
         den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
         a = e / den
+        al = a.astype(gh.dtype)
         # dV_h = a^T @ g_h : contract over the query axis
         dv = jax.lax.dot_general(
-            a, gh, (((1,), (1,)), ((0,), (0,))),
+            al, gh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                             # (BN, T_k, D)
         # dA[q,k] = g_h[q,:] . v_h[k,:]
@@ -92,13 +99,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         )                                             # (BN, T_q, T_k)
         # normalization backward: dE = (dA - sum_k dA*a) / den; dS = dE*e
         ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * inv
+        dsl = ds.astype(kh.dtype)
         # dQ_h = dS @ K_h ; dK_h = dS^T @ Q_h
         dq = jax.lax.dot_general(
-            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            dsl, kh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dk = jax.lax.dot_general(
-            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            dsl, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
@@ -115,8 +123,8 @@ def _masked_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, n_heads,
     inv = 1.0 / math.sqrt(d_head)
     for h in range(n_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
-        qh = q[:, :, sl].astype(jnp.float32)
-        kh = k[:, :, sl].astype(jnp.float32)
+        qh = q[:, :, sl]
+        kh = k[:, :, sl]
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -128,8 +136,9 @@ def _masked_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, n_heads,
         e = jnp.exp(s - m) * mask
         den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
         a = e / den
+        vh = v[:, :, sl]
         ctx = jax.lax.dot_general(
-            a, v[:, :, sl].astype(jnp.float32),
+            a.astype(vh.dtype), vh,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -146,10 +155,10 @@ def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
     inv = 1.0 / math.sqrt(d_head)
     for h in range(n_heads):
         sl = slice(h * d_head, (h + 1) * d_head)
-        qh = q[:, :, sl].astype(jnp.float32)
-        kh = k[:, :, sl].astype(jnp.float32)
-        vh = v[:, :, sl].astype(jnp.float32)
-        gh = g[:, :, sl].astype(jnp.float32)
+        qh = q[:, :, sl]
+        kh = k[:, :, sl]
+        vh = v[:, :, sl]
+        gh = g[:, :, sl]
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -158,8 +167,9 @@ def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         e = jnp.exp(s - m) * mask
         den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
         a = e / den
+        al = a.astype(gh.dtype)
         dv = jax.lax.dot_general(
-            a, gh, (((1,), (1,)), ((0,), (0,))),
+            al, gh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         da = jax.lax.dot_general(
@@ -169,12 +179,13 @@ def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         # a already carries the mask (a=0 on masked keys), so the unmasked
         # normalization-backward formula is exact here too.
         ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * inv
+        dsl = ds.astype(kh.dtype)
         dq = jax.lax.dot_general(
-            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            dsl, kh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dk = jax.lax.dot_general(
-            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            dsl, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)

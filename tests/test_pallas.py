@@ -56,6 +56,37 @@ class TestExpMhsaForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_bf16_matches_f32_reference(self, rng):
+        """bf16 operands go straight to the matmuls (MXU-native path);
+        accumulation stays f32, so results track the f32 reference within
+        bf16 rounding."""
+        q, k, v = make_qkv(rng, n=8, t=20, heads=20, d=20)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        got = exp_mhsa(qb, kb, vb, 20)
+        assert got.dtype == jnp.bfloat16
+        want = ref_attention(q, k, v, 20)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want),
+            rtol=5e-2, atol=5e-2)
+
+    def test_bf16_grads_finite_and_close(self, rng):
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+        def f32_loss(q, k, v):
+            return jnp.sum(jnp.tanh(ref_attention(q, k, v, 4)))
+
+        def bf16_loss(q, k, v):
+            return jnp.sum(jnp.tanh(exp_mhsa(q, k, v, 4).astype(jnp.float32)))
+
+        g_ref = jax.grad(f32_loss, argnums=(0, 1, 2))(q, k, v)
+        g_got = jax.grad(bf16_loss, argnums=(0, 1, 2))(qb, kb, vb)
+        for a, b in zip(g_got, g_ref):
+            assert a.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b),
+                rtol=1e-1, atol=1e-1)
+
     def test_blocking_invariance(self, rng):
         q, k, v = make_qkv(rng, n=12)
         a = exp_mhsa(q, k, v, 3, 4)

@@ -18,12 +18,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_variant(label, cfg, iters=50, warmup=4):
+def bench_variant(label, cfg, iters=50, warmup=4, scan_k=0):
     import jax
 
     from newsrecommendation_tpu.models import get_model
     from newsrecommendation_tpu.train import create_train_state
-    from newsrecommendation_tpu.train.step import make_train_step
+    from newsrecommendation_tpu.train.step import (
+        make_multi_step,
+        make_train_step,
+    )
 
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)
@@ -54,6 +57,30 @@ def bench_variant(label, cfg, iters=50, warmup=4):
 
     batches = [make_batch(s) for s in range(8)]
     base_rng = jax.random.PRNGKey(0)
+
+    if scan_k:
+        import jax.numpy as jnp
+
+        multi = make_multi_step(cfg, model, scan_k)
+        stacks = [
+            {key: jnp.stack([batches[(s + j) % 8][key]
+                             for j in range(scan_k)])
+             for key in batches[0]}
+            for s in range(8)
+        ]
+        for i in range(max(warmup // scan_k, 2)):
+            state, ms = multi(state, stacks[i % 8], base_rng)
+        float(ms["loss"][-1])
+        calls = max(iters // scan_k, 4)
+        t0 = time.perf_counter()
+        for i in range(calls):
+            state, ms = multi(state, stacks[i % 8], base_rng)
+        float(ms["loss"][-1])
+        dt = (time.perf_counter() - t0) / (calls * scan_k)
+        print(f"{label} scan{scan_k}: {dt * 1e3:.2f} ms/step = "
+              f"{b / dt:,.0f} examples/s", flush=True)
+        return dt
+
     for i in range(warmup):
         state, metrics = train_step(state, batches[i % 8], base_rng)
     float(metrics["loss"])
@@ -81,6 +108,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="NRMS")
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--scan", type=int, default=0,
+                    help="steps per dispatch via lax.scan (0 = per-step)")
+    ap.add_argument("--variants", default="f32,bf16,f32 no-pallas,bf16 no-pallas")
     args = ap.parse_args()
 
     base = dict(
@@ -92,15 +122,19 @@ def main():
     )
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
           flush=True)
+    wanted = {v.strip() for v in args.variants.split(",")}
     for label, over in [
         ("f32", {}),
         ("bf16", {"compute_dtype": "bfloat16"}),
         ("f32 no-pallas", {"use_pallas": "off"}),
         ("bf16 no-pallas", {"compute_dtype": "bfloat16", "use_pallas": "off"}),
     ]:
+        if label not in wanted:
+            continue
         from newsrecommendation_tpu.ops.pallas import set_pallas_mode
         set_pallas_mode(over.pop("use_pallas", "auto"))
-        bench_variant(label, Config(**{**base, **over}), iters=args.iters)
+        bench_variant(label, Config(**{**base, **over}), iters=args.iters,
+                      scan_k=args.scan)
 
 
 if __name__ == "__main__":
