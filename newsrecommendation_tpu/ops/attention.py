@@ -129,19 +129,36 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
     qkv = jnp.matmul(x, w) + bias
     nq, nk = wq["w"].shape[1], wk["w"].shape[1]
+    nv = wv["w"].shape[1]
+
+    if nq % n_heads == 0:
+        from newsrecommendation_tpu.ops.pallas import pallas_enabled
+        if pallas_enabled():
+            if nq == nk == nv:
+                # feed the FUSED projection straight to the kernel: no HBM
+                # q/k/v splits forward, no dq/dk/dv concat backward (those
+                # relayout copies cost more than the attention math — see
+                # docs/PERF.md)
+                from newsrecommendation_tpu.ops.pallas import (
+                    exp_mhsa_qkv,
+                    exp_mhsa_qkv_masked,
+                )
+                if mask is None:
+                    return exp_mhsa_qkv(qkv, n_heads)
+                return exp_mhsa_qkv_masked(qkv, mask.astype(jnp.float32),
+                                           n_heads)
+            if mask is None:
+                from newsrecommendation_tpu.ops.pallas import exp_mhsa
+                return exp_mhsa(qkv[..., :nq], qkv[..., nq:nq + nk],
+                                qkv[..., nq + nk:], n_heads)
+            from newsrecommendation_tpu.ops.pallas import exp_mhsa_masked
+            return exp_mhsa_masked(qkv[..., :nq], qkv[..., nq:nq + nk],
+                                   qkv[..., nq + nk:],
+                                   mask.astype(jnp.float32), n_heads)
+
     qf = qkv[..., :nq]
     kf = qkv[..., nq:nq + nk]
     vf = qkv[..., nq + nk:]
-
-    if qf.shape[-1] % n_heads == 0:
-        from newsrecommendation_tpu.ops.pallas import pallas_enabled
-        if pallas_enabled():
-            if mask is None:
-                from newsrecommendation_tpu.ops.pallas import exp_mhsa
-                return exp_mhsa(qf, kf, vf, n_heads)
-            from newsrecommendation_tpu.ops.pallas import exp_mhsa_masked
-            return exp_mhsa_masked(qf, kf, vf,
-                                   mask.astype(jnp.float32), n_heads)
 
     q = qf.reshape(b, s, n_heads, -1)
     k = kf.reshape(b, s, n_heads, -1)

@@ -1,6 +1,8 @@
 from newsrecommendation_tpu.ops.pallas.fused_attention import (  # noqa: F401
     exp_mhsa,
     exp_mhsa_masked,
+    exp_mhsa_qkv,
+    exp_mhsa_qkv_masked,
 )
 from newsrecommendation_tpu.ops.pallas.config import (  # noqa: F401
     pallas_enabled,

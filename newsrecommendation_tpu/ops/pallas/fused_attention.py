@@ -193,6 +193,94 @@ def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
+def _qkv_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None):
+    """Forward over FUSED qkv (BN, T, 3*H*D): head h's q/k/v live at lane
+    offsets h*D, H*D + h*D, 2*H*D + h*D. Keeping the projection output fused
+    means XLA never materializes separate q/k/v in HBM — the profile showed
+    those splits (async slice + relayout copies of (N,T,H*D) tensors) costing
+    more than the attention math itself."""
+    qkv = qkv_ref[...]
+    mask = (None if mask_ref is None
+            else mask_ref[...].astype(jnp.float32)[:, None, :])
+    hd = n_heads * d_head
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        q_sl = slice(h * d_head, (h + 1) * d_head)
+        k_sl = slice(hd + h * d_head, hd + (h + 1) * d_head)
+        v_sl = slice(2 * hd + h * d_head, 2 * hd + (h + 1) * d_head)
+        qh = qkv[:, :, q_sl]
+        kh = qkv[:, :, k_sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        if mask is not None:
+            e = e * mask
+        den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
+        a = e / den
+        vh = qkv[:, :, v_sl]
+        ctx = jax.lax.dot_general(
+            a.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, q_sl] = ctx.astype(o_ref.dtype)
+
+
+def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head,
+                    mask_ref=None):
+    """Backward emitting FUSED dqkv — the projection backward then consumes
+    one contiguous buffer (dx = dqkv @ W^T, dW = x^T @ dqkv) with no HBM
+    concatenation of dq/dk/dv."""
+    qkv = qkv_ref[...]
+    g = g_ref[...]
+    mask = (None if mask_ref is None
+            else mask_ref[...].astype(jnp.float32)[:, None, :])
+    hd = n_heads * d_head
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        q_sl = slice(h * d_head, (h + 1) * d_head)
+        k_sl = slice(hd + h * d_head, hd + (h + 1) * d_head)
+        v_sl = slice(2 * hd + h * d_head, 2 * hd + (h + 1) * d_head)
+        qh = qkv[:, :, q_sl]
+        kh = qkv[:, :, k_sl]
+        vh = qkv[:, :, v_sl]
+        gh = g[:, :, q_sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        if mask is not None:
+            e = e * mask
+        den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
+        a = e / den
+        al = a.astype(gh.dtype)
+        dv = jax.lax.dot_general(
+            al, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        da = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * inv
+        dsl = ds.astype(kh.dtype)
+        dq = jax.lax.dot_general(
+            dsl, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            dsl, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, q_sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, k_sl] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, v_sl] = dv.astype(dqkv_ref.dtype)
+
+
 def _block_rows(n: int, target: int) -> int:
     b = min(n, target)
     while n % b:
@@ -300,6 +388,139 @@ def _masked_bwd_call(q, k, v, mask, g, n_heads, d_head, block_rows):
             transcendentals=n * n_heads * t * t,
         ),
     )(q, k, v, mask, g)
+
+
+def _qkv_fwd_unmasked(qkv_ref, o_ref, *, n_heads, d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head)
+
+
+def _qkv_fwd_masked(qkv_ref, mask_ref, o_ref, *, n_heads, d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    mask_ref=mask_ref)
+
+
+def _qkv_bwd_unmasked(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head):
+    _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_heads=n_heads, d_head=d_head)
+
+
+def _qkv_bwd_masked(qkv_ref, mask_ref, g_ref, dqkv_ref, *, n_heads, d_head):
+    _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_heads=n_heads, d_head=d_head,
+                    mask_ref=mask_ref)
+
+
+def _qkv_specs(n, t, w3, w1, bn):
+    qkv_spec = pl.BlockSpec((bn, t, w3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bn, t, w1), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((bn, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return qkv_spec, o_spec, m_spec
+
+
+def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows):
+    n, t, w3 = qkv.shape
+    w1 = w3 // 3
+    bn = _block_rows(n, block_rows)
+    qkv_spec, o_spec, m_spec = _qkv_specs(n, t, w3, w1, bn)
+    kernel = (functools.partial(_qkv_fwd_unmasked, n_heads=n_heads,
+                                d_head=d_head) if mask is None else
+              functools.partial(_qkv_fwd_masked, n_heads=n_heads,
+                                d_head=d_head))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, t, w1), qkv.dtype),
+        grid=(n // bn,),
+        in_specs=([qkv_spec] if mask is None else [qkv_spec, m_spec]),
+        out_specs=o_spec,
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * n_heads * t * t * d_head,
+            bytes_accessed=(qkv.size + n * t * w1) * qkv.dtype.itemsize,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(*((qkv,) if mask is None else (qkv, mask)))
+
+
+def _qkv_bwd_call(qkv, mask, g, n_heads, d_head, block_rows):
+    n, t, w3 = qkv.shape
+    w1 = w3 // 3
+    bn = _block_rows(n, max(block_rows // 2, 1))
+    qkv_spec, o_spec, m_spec = _qkv_specs(n, t, w3, w1, bn)
+    kernel = (functools.partial(_qkv_bwd_unmasked, n_heads=n_heads,
+                                d_head=d_head) if mask is None else
+              functools.partial(_qkv_bwd_masked, n_heads=n_heads,
+                                d_head=d_head))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        grid=(n // bn,),
+        in_specs=([qkv_spec, o_spec] if mask is None
+                  else [qkv_spec, m_spec, o_spec]),
+        out_specs=qkv_spec,
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * n_heads * t * t * d_head,
+            bytes_accessed=(2 * qkv.size + 2 * n * t * w1)
+            * qkv.dtype.itemsize,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(*((qkv, g) if mask is None else (qkv, mask, g)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def exp_mhsa_qkv(qkv, n_heads: int, block_rows: int = 128):
+    """Fused exp-MHSA over a FUSED qkv tensor (N, T, 3*H*D), lanes laid out
+    [q | k | v]. Returns context (N, T, H*D). Exact math of exp_mhsa, but
+    q/k/v are sliced per head in VMEM, so the (N,T,H*D)-sized HBM splits of
+    the projection output (and the matching concats in backward) disappear.
+    """
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    return _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows)
+
+
+def _exp_mhsa_qkv_fwd(qkv, n_heads, block_rows):
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    return _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows), (qkv,)
+
+
+def _exp_mhsa_qkv_bwd(n_heads, block_rows, res, g):
+    (qkv,) = res
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    return (_qkv_bwd_call(qkv, None, g.astype(qkv.dtype), n_heads, d_head,
+                          block_rows),)
+
+
+exp_mhsa_qkv.defvjp(_exp_mhsa_qkv_fwd, _exp_mhsa_qkv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def exp_mhsa_qkv_masked(qkv, key_mask, n_heads: int, block_rows: int = 128):
+    """Key-masked variant of exp_mhsa_qkv (exact exp_mhsa_masked math)."""
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    return _qkv_fwd_call(qkv, key_mask, n_heads, d_head, block_rows)
+
+
+def _exp_mhsa_qkv_masked_fwd(qkv, key_mask, n_heads, block_rows):
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    out = _qkv_fwd_call(qkv, key_mask, n_heads, d_head, block_rows)
+    return out, (qkv, key_mask)
+
+
+def _exp_mhsa_qkv_masked_bwd(n_heads, block_rows, res, g):
+    qkv, key_mask = res
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    dqkv = _qkv_bwd_call(qkv, key_mask, g.astype(qkv.dtype), n_heads, d_head,
+                         block_rows)
+    return dqkv, jnp.zeros_like(key_mask)
+
+
+exp_mhsa_qkv_masked.defvjp(_exp_mhsa_qkv_masked_fwd, _exp_mhsa_qkv_masked_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

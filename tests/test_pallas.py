@@ -9,6 +9,8 @@ from newsrecommendation_tpu.ops import attention as A
 from newsrecommendation_tpu.ops.pallas import (
     exp_mhsa,
     exp_mhsa_masked,
+    exp_mhsa_qkv,
+    exp_mhsa_qkv_masked,
     set_pallas_mode,
 )
 from newsrecommendation_tpu.ops.pallas.fused_attention import _block_rows
@@ -177,6 +179,41 @@ class TestExpMhsaMasked:
                 np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5,
                 err_msg=f"d{name} mismatch",
             )
+
+    def test_qkv_fused_matches_split(self, rng):
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        got = exp_mhsa_qkv(qkv, 4)
+        want = exp_mhsa(q, k, v, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_qkv_fused_masked_matches_split(self, rng):
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        mask = jnp.asarray(
+            (rng.random((8, 10)) > 0.3).astype(np.float32))
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        got = exp_mhsa_qkv_masked(qkv, mask, 4)
+        want = exp_mhsa_masked(q, k, v, mask, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_qkv_fused_grads_match_split(self, rng):
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        mask = jnp.asarray((rng.random((8, 6)) > 0.4).astype(np.float32))
+
+        def loss_fused(qkv):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_masked(qkv, mask, 3)))
+
+        def loss_split(q, k, v):
+            return jnp.sum(jnp.tanh(exp_mhsa_masked(q, k, v, mask, 3)))
+
+        dqkv = jax.grad(loss_fused)(jnp.concatenate([q, k, v], axis=-1))
+        dq, dk, dv = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(dqkv),
+            np.asarray(jnp.concatenate([dq, dk, dv], axis=-1)),
+            rtol=1e-4, atol=1e-6)
 
     def test_mhsa_routes_masked_kernel(self, rng):
         from newsrecommendation_tpu.ops import (

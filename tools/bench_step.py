@@ -110,6 +110,9 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--scan", type=int, default=0,
                     help="steps per dispatch via lax.scan (0 = per-step)")
+    ap.add_argument("--freeze", action="store_true",
+                    help="freeze_embedding=True (the reference demo.sh "
+                         "training config; skips the table-grad scatter)")
     ap.add_argument("--variants", default="f32,bf16,f32 no-pallas,bf16 no-pallas")
     args = ap.parse_args()
 
@@ -118,7 +121,7 @@ def main():
         user_log_length=50, word_embedding_dim=300, news_dim=400,
         news_query_vector_dim=200, user_query_vector_dim=200,
         num_attention_heads=20, batch_size=128, npratio=4, drop_rate=0.2,
-        lr=3e-4, deterministic=False,
+        lr=3e-4, deterministic=False, freeze_embedding=args.freeze,
     )
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
           flush=True)
