@@ -20,16 +20,24 @@ def default_lookup(table, ids):
 
 
 def frozen_table(table, cfg):
-    """stop_gradient on the embedding table when cfg.freeze_embedding.
+    """Prepare the embedding table for lookup: freeze + compute-dtype cast.
 
-    The optimizer already zeroes the table's updates (train/state.py), but
-    without this XLA still materializes the gradient — a scatter-add of
-    every looked-up row back into the full table, the single most expensive
-    op in the backward pass on TPU. stop_gradient removes it from the
-    autodiff graph entirely; the zeroed optimizer branch stays as
-    belt-and-braces.
+    stop_gradient when cfg.freeze_embedding: the optimizer already zeroes
+    the table's updates (train/state.py), but without this XLA still
+    materializes the gradient — a scatter-add of every looked-up row back
+    into the full table, the single most expensive op in the backward pass
+    on TPU. stop_gradient removes it from the autodiff graph entirely; the
+    zeroed optimizer branch stays as belt-and-braces.
+
+    The cast to cfg.compute_dtype happens BEFORE the gather: converting the
+    (V, D) table once is far cheaper than converting every gathered row
+    (~5x more rows than the table at the reference batch shape), and a bf16
+    gather moves half the HBM bytes. Params stay f32; autodiff casts the
+    (bf16) row gradients back on the way out.
     """
-    return jax.lax.stop_gradient(table) if cfg.freeze_embedding else table
+    if cfg.freeze_embedding:
+        table = jax.lax.stop_gradient(table)
+    return table.astype(jnp.dtype(cfg.compute_dtype))
 
 
 def title_word_vecs(table, features, cfg, lookup=default_lookup):

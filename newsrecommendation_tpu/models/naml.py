@@ -87,7 +87,7 @@ def news_encoder(params, cfg, features, mask=None, *, rng=None,
     word_vecs = common.title_word_vecs(
         common.frozen_table(params["embedding_table"], cfg), features, cfg,
         lookup,
-    ).astype(jnp.dtype(cfg.compute_dtype))
+    )
     if not deterministic:
         word_vecs = dropout(rng, word_vecs, cfg.drop_rate, deterministic)
     ctx = conv1d_same(p["cnn"], word_vecs)  # (B, T, news_dim)

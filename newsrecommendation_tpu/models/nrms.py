@@ -66,7 +66,7 @@ def news_encoder(params, cfg, features, mask=None, *, rng=None,
     word_vecs = common.title_word_vecs(
         common.frozen_table(params["embedding_table"], cfg), features, cfg,
         lookup,
-    ).astype(jnp.dtype(cfg.compute_dtype))
+    )
     if not deterministic:
         k1, k2 = jax.random.split(rng)
         word_vecs = dropout(k1, word_vecs, cfg.drop_rate, deterministic)

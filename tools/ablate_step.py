@@ -77,7 +77,6 @@ def main():
         np.float32)
     table[0] = 0.0
     params = model.init(jax.random.PRNGKey(0), cfg, table)
-    state = create_train_state(cfg, params)
 
     f = cfg.news_feature_width
     b = cfg.batch_size
@@ -128,13 +127,16 @@ def main():
 
     if "full" in stages:
         train_step = make_train_step(cfg, model, donate=True)
-        st = state
-        train_step(st, batches[0][0], base_rng)  # compile
-        st2, m = train_step(st, batches[0][0], base_rng)
-        jax.block_until_ready(st2)
+        # fresh state over COPIED params: donation must not eat the params
+        # the later component stages still read
+        st0 = create_train_state(
+            cfg, jax.tree_util.tree_map(jnp.array, params))
+        st, m = train_step(st0, batches[0][0], base_rng)  # compile
+        st, m = train_step(st, batches[1][0], base_rng)
+        float(m["loss"])
         t0 = time.perf_counter()
         for i in range(args.iters):
-            st2, m = train_step(st2, batches[i % 8][0], base_rng)
+            st, m = train_step(st, batches[i % 8][0], base_rng)
         float(m["loss"])
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{'full':10s}: {dt * 1e3:8.2f} ms", flush=True)
