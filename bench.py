@@ -112,12 +112,17 @@ def main():
     from newsrecommendation_tpu.train import create_train_state
     from newsrecommendation_tpu.train.step import make_train_step
 
+    # The reference's canonical training config (demo.sh:14-23 trains with
+    # freeze_embedding=True) at the TPU-native dtype: bf16 activations,
+    # f32 params/accumulation. BASELINE_EPS stays the f32 straight-lowering
+    # anchor, so vs_baseline reports the full TPU-native speedup.
     cfg = Config(
         model="NRMS", title_source="word_ids", num_words_title=20,
         user_log_length=50, word_embedding_dim=300, news_dim=400,
         news_query_vector_dim=200, user_query_vector_dim=200,
         num_attention_heads=20, batch_size=128, npratio=4, drop_rate=0.2,
-        lr=3e-4, deterministic=False,
+        lr=3e-4, deterministic=False, freeze_embedding=True,
+        compute_dtype="bfloat16",
     )
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)

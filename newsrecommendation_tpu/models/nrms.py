@@ -14,11 +14,10 @@ import jax.numpy as jnp
 
 from newsrecommendation_tpu.models import common
 from newsrecommendation_tpu.ops import (
-    attention_pooling,
     dropout,
     init_attention_pooling,
     init_multi_head_self_attention,
-    multi_head_self_attention,
+    mhsa_dropout_pool,
 )
 from newsrecommendation_tpu.ops.scoring import score_candidates
 from newsrecommendation_tpu.utils import init as pinit
@@ -67,30 +66,32 @@ def news_encoder(params, cfg, features, mask=None, *, rng=None,
         common.frozen_table(params["embedding_table"], cfg), features, cfg,
         lookup,
     )
+    k2 = None
     if not deterministic:
         k1, k2 = jax.random.split(rng)
         word_vecs = dropout(k1, word_vecs, cfg.drop_rate, deterministic)
-    ctx = multi_head_self_attention(
-        p["mhsa"], word_vecs, mask, n_heads=cfg.num_attention_heads
+    # MHSA -> dropout -> pooling as ONE fused kernel on TPU (the context
+    # tensor never exists in HBM — ops/pallas/fused_encoder.py)
+    return mhsa_dropout_pool(
+        p["mhsa"], p["attn"], word_vecs, mask,
+        n_heads=cfg.num_attention_heads, drop_rate=cfg.drop_rate, rng=k2,
+        deterministic=deterministic,
     )
-    if not deterministic:
-        ctx = dropout(k2, ctx, cfg.drop_rate, deterministic)
-    return attention_pooling(p["attn"], ctx, mask)
 
 
 def user_encoder(params, cfg, news_vecs, log_mask):
     """news_vecs: (B, L, news_dim), log_mask: (B, L) -> user vec (B, news_dim)."""
     p = params["user_encoder"]
     if cfg.user_log_mask:
-        ctx = multi_head_self_attention(
-            p["mhsa"], news_vecs, log_mask, n_heads=cfg.num_attention_heads
+        return mhsa_dropout_pool(
+            p["mhsa"], p["attn"], news_vecs, log_mask,
+            n_heads=cfg.num_attention_heads,
         )
-        return attention_pooling(p["attn"], ctx, log_mask)
     padded = common.apply_pad_doc(news_vecs, log_mask, p["pad_doc"])
-    ctx = multi_head_self_attention(
-        p["mhsa"], padded, None, n_heads=cfg.num_attention_heads
+    return mhsa_dropout_pool(
+        p["mhsa"], p["attn"], padded, None,
+        n_heads=cfg.num_attention_heads,
     )
-    return attention_pooling(p["attn"], ctx, None)
 
 
 def forward(params, cfg, batch, *, rng=None, deterministic=True,

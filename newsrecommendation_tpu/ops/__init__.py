@@ -3,6 +3,7 @@ from newsrecommendation_tpu.ops.attention import (  # noqa: F401
     init_attention_pooling,
     init_multi_head_self_attention,
     masked_exp_normalize,
+    mhsa_dropout_pool,
     multi_head_self_attention,
     scaled_dot_product_attention,
 )

@@ -106,6 +106,62 @@ def init_multi_head_self_attention(key, d_model: int, n_heads: int, d_k: int,
     }
 
 
+def _fused_qkv(params, x):
+    """One (d_model, 3*H*d) projection matmul instead of three (see
+    multi_head_self_attention). Returns (qkv, nq, nk, nv)."""
+    wq, wk, wv = params["wq"], params["wk"], params["wv"]
+    w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1).astype(x.dtype)
+    bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
+    qkv = jnp.matmul(x, w) + bias
+    return qkv, wq["w"].shape[1], wk["w"].shape[1], wv["w"].shape[1]
+
+
+def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
+                      n_heads: int, drop_rate: float = 0.0, rng=None,
+                      deterministic: bool = True):
+    """The NRMS encoder tail: MHSA -> dropout -> additive attention pooling
+    (NRMS.py:23-36 news path; NRMS.py:49-63 user path with drop_rate=0).
+
+    On TPU with Pallas enabled this runs as ONE fused kernel
+    (ops/pallas/fused_encoder.py): the (B, S, H*d) context never exists in
+    HBM. Elsewhere it composes the individual ops with identical math.
+    x: (B, S, d_model); mask: (B, S) over keys/positions or None.
+    Returns (B, n_heads*d_v).
+    """
+    from newsrecommendation_tpu.ops.common import dropout as _dropout
+
+    qkv, nq, nk, nv = _fused_qkv(mhsa_params, x)
+    use_dropout = (not deterministic) and drop_rate > 0.0
+
+    if nq == nk == nv and nq % n_heads == 0:
+        from newsrecommendation_tpu.ops.pallas import pallas_enabled
+        if pallas_enabled():
+            from newsrecommendation_tpu.ops.pallas.fused_encoder import (
+                exp_mhsa_pool,
+                exp_mhsa_pool_masked,
+            )
+            if use_dropout:
+                seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            w1 = pool_params["fc1"]["w"].astype(x.dtype)
+            b1 = pool_params["fc1"]["b"][None, :].astype(jnp.float32)
+            w2 = pool_params["fc2"]["w"].astype(x.dtype)
+            b2 = pool_params["fc2"]["b"][None, :].astype(jnp.float32)
+            if mask is None:
+                return exp_mhsa_pool(qkv, w1, b1, w2, b2, seed, n_heads,
+                                     float(drop_rate), not use_dropout)
+            return exp_mhsa_pool_masked(qkv, mask.astype(jnp.float32), w1,
+                                        b1, w2, b2, seed, n_heads,
+                                        float(drop_rate), not use_dropout)
+
+    ctx = _mhsa_from_qkv(qkv, nq, nk, nv, mask, n_heads=n_heads)
+    if use_dropout:
+        ctx = _dropout(rng, ctx, drop_rate, deterministic)
+    return attention_pooling(pool_params, ctx, mask)
+
+
 def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     """Self-attention over x: (B, S, d_model); mask: (B, S) over keys.
 
@@ -120,16 +176,12 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
       and fuses with the exp-normalize.
     - Larger heads use batched MXU einsums.
     """
-    b, s, _ = x.shape
-    # One fused (d_model, 3*H*d) projection instead of three — a single
-    # MXU matmul; the per-step concat of the small weight blocks is free
-    # next to the (B*S, d_model) activation matmul it feeds.
-    wq, wk, wv = params["wq"], params["wk"], params["wv"]
-    w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1).astype(x.dtype)
-    bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
-    qkv = jnp.matmul(x, w) + bias
-    nq, nk = wq["w"].shape[1], wk["w"].shape[1]
-    nv = wv["w"].shape[1]
+    qkv, nq, nk, nv = _fused_qkv(params, x)
+    return _mhsa_from_qkv(qkv, nq, nk, nv, mask, n_heads=n_heads)
+
+
+def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
+    b, s, _ = qkv.shape
 
     if nq % n_heads == 0:
         from newsrecommendation_tpu.ops.pallas import pallas_enabled

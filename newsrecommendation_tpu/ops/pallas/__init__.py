@@ -4,6 +4,10 @@ from newsrecommendation_tpu.ops.pallas.fused_attention import (  # noqa: F401
     exp_mhsa_qkv,
     exp_mhsa_qkv_masked,
 )
+from newsrecommendation_tpu.ops.pallas.fused_encoder import (  # noqa: F401
+    exp_mhsa_pool,
+    exp_mhsa_pool_masked,
+)
 from newsrecommendation_tpu.ops.pallas.config import (  # noqa: F401
     pallas_enabled,
     set_pallas_mode,

@@ -218,3 +218,34 @@ class TestEvalSamples:
             assert b["history"].shape[0] == bs
             total += b["num_real"]
         assert total == es.num_samples
+
+
+class TestGloveLoader:
+    """load_glove_matrix — reference utils.py:64-80 semantics."""
+
+    def test_loads_known_words_and_zeros_unknown(self, tmp_path):
+        from newsrecommendation_tpu.data.mind import load_glove_matrix
+
+        glove = tmp_path / "glove.txt"
+        glove.write_text(
+            "apple 1.0 2.0 3.0\n"
+            "banana -0.5 0.0 0.5\n"
+            "unused 9.0 9.0 9.0\n"
+        )
+        word_dict = {"apple": 1, "cherry": 2, "banana": 3}
+        matrix, have = load_glove_matrix(str(glove), word_dict, dim=3)
+        assert matrix.shape == (4, 3)
+        np.testing.assert_allclose(matrix[1], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(matrix[3], [-0.5, 0.0, 0.5])
+        # row 0 (padding) and out-of-GloVe words stay zero
+        np.testing.assert_allclose(matrix[0], 0.0)
+        np.testing.assert_allclose(matrix[2], 0.0)
+        assert sorted(have) == ["apple", "banana"]
+
+    def test_missing_file_returns_zeros(self):
+        from newsrecommendation_tpu.data.mind import load_glove_matrix
+
+        matrix, have = load_glove_matrix("/nonexistent/glove.txt",
+                                         {"a": 1}, dim=4)
+        assert matrix.shape == (2, 4) and not have
+        np.testing.assert_allclose(matrix, 0.0)

@@ -245,3 +245,216 @@ class TestMhsaIntegration:
         want = multi_head_self_attention(params, x, None, n_heads=4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused encoder tail: MHSA -> dropout -> attention pooling
+# ---------------------------------------------------------------------------
+
+
+def _pool_params(rng, hd, q):
+    from newsrecommendation_tpu.ops.attention import init_attention_pooling
+    return init_attention_pooling(jax.random.PRNGKey(7), hd, q)
+
+
+def _composed_tail(qkv, mask, pool, n_heads):
+    """jnp reference for the deterministic tail (no dropout)."""
+    n, t, w3 = qkv.shape
+    hd = w3 // 3
+    ctx = ref_attention(qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:],
+                        n_heads)
+    if mask is not None:
+        d = hd // n_heads
+        q4 = qkv[..., :hd].reshape(n, t, n_heads, d)
+        k4 = qkv[..., hd:2 * hd].reshape(n, t, n_heads, d)
+        v4 = qkv[..., 2 * hd:].reshape(n, t, n_heads, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) / np.sqrt(d)
+        attn = A.masked_exp_normalize(scores, mask[:, None, None, :], axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v4).reshape(n, t, hd)
+    return A.attention_pooling(pool, ctx, mask)
+
+
+def _kernel_args(pool):
+    w1 = pool["fc1"]["w"]
+    b1 = pool["fc1"]["b"][None, :]
+    w2 = pool["fc2"]["w"]
+    b2 = pool["fc2"]["b"][None, :]
+    return w1, b1, w2, b2
+
+
+class TestExpMhsaPool:
+    def test_forward_matches_composed(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool
+
+        n, t, h, d, qd = 12, 5, 3, 4, 6
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * h * d)).astype(np.float32))
+        pool = _pool_params(rng, h * d, qd)
+        seed = jnp.zeros((1,), jnp.int32)
+        got = exp_mhsa_pool(qkv, *_kernel_args(pool), seed, h, 0.0, True)
+        want = _composed_tail(qkv, None, pool, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_forward_masked_matches_composed(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool_masked
+
+        n, t, h, d, qd = 8, 6, 2, 4, 5
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * h * d)).astype(np.float32))
+        mask = jnp.asarray((rng.random((n, t)) > 0.4).astype(np.float32))
+        mask = mask.at[:, 0].set(1.0)  # no fully-masked rows
+        pool = _pool_params(rng, h * d, qd)
+        seed = jnp.zeros((1,), jnp.int32)
+        got = exp_mhsa_pool_masked(qkv, mask, *_kernel_args(pool), seed, h,
+                                   0.0, True)
+        want = _composed_tail(qkv, mask, pool, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_composed(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool
+
+        n, t, h, d, qd = 6, 4, 2, 3, 5
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * h * d)).astype(np.float32))
+        pool = _pool_params(rng, h * d, qd)
+        seed = jnp.zeros((1,), jnp.int32)
+        gout = jnp.asarray(rng.normal(size=(n, h * d)).astype(np.float32))
+
+        def f_kernel(qkv, pool):
+            out = exp_mhsa_pool(qkv, *_kernel_args(pool), seed, h, 0.0, True)
+            return jnp.sum(out * gout)
+
+        def f_ref(qkv, pool):
+            return jnp.sum(_composed_tail(qkv, None, pool, h) * gout)
+
+        gk = jax.grad(f_kernel, argnums=(0, 1))(qkv, pool)
+        gr = jax.grad(f_ref, argnums=(0, 1))(qkv, pool)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   rtol=1e-4, atol=1e-5)
+        for ka, kb in (("fc1", "w"), ("fc1", "b"), ("fc2", "w"), ("fc2", "b")):
+            np.testing.assert_allclose(
+                np.asarray(gk[1][ka][kb]), np.asarray(gr[1][ka][kb]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{ka}.{kb}")
+
+    def test_grads_masked_match_composed(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool_masked
+
+        n, t, h, d, qd = 6, 4, 2, 3, 5
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * h * d)).astype(np.float32))
+        mask = jnp.asarray((rng.random((n, t)) > 0.3).astype(np.float32))
+        mask = mask.at[:, 0].set(1.0)
+        pool = _pool_params(rng, h * d, qd)
+        seed = jnp.zeros((1,), jnp.int32)
+        gout = jnp.asarray(rng.normal(size=(n, h * d)).astype(np.float32))
+
+        def f_kernel(qkv, pool):
+            out = exp_mhsa_pool_masked(qkv, mask, *_kernel_args(pool), seed,
+                                       h, 0.0, True)
+            return jnp.sum(out * gout)
+
+        def f_ref(qkv, pool):
+            return jnp.sum(_composed_tail(qkv, mask, pool, h) * gout)
+
+        gk = jax.grad(f_kernel, argnums=(0, 1))(qkv, pool)
+        gr = jax.grad(f_ref, argnums=(0, 1))(qkv, pool)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   rtol=1e-4, atol=1e-5)
+        for ka, kb in (("fc1", "w"), ("fc1", "b"), ("fc2", "w"), ("fc2", "b")):
+            np.testing.assert_allclose(
+                np.asarray(gk[1][ka][kb]), np.asarray(gr[1][ka][kb]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{ka}.{kb}")
+
+    @staticmethod
+    def _np_keep_mask(shape, rate, seed):
+        """numpy oracle of fused_encoder._keep_mask (SplitMix32-style hash
+        over the global flat element index — blocking-independent)."""
+        bn, t, hd = shape
+        idx = np.arange(bn * t * hd, dtype=np.uint64).reshape(shape)
+        x = (idx + np.uint64(seed) * 0x9E3779B9) & 0xFFFFFFFF
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(16)))
+            x = (x * 0x7FEB352D) & 0xFFFFFFFF
+            x = (x ^ (x >> np.uint64(15)))
+            x = (x * 0x846CA68B) & 0xFFFFFFFF
+            x = (x ^ (x >> np.uint64(16)))
+        thr = min(int(round(rate * 2.0**32)), 2**32 - 1)
+        return (x >= thr).astype(np.float32) / (1.0 - rate)
+
+    def test_dropout_matches_composed_with_same_mask(self, rng):
+        """Dropout path: reproduce the hash mask in numpy and feed it to the
+        composed reference — forward AND grads must match the kernel."""
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool
+
+        n, t, h, d, qd = 10, 5, 3, 4, 6
+        rate, seed_val = 0.35, 13
+        hd = h * d
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * hd)).astype(np.float32))
+        pool = _pool_params(rng, hd, qd)
+        seed = jnp.asarray([seed_val], jnp.int32)
+        keep = jnp.asarray(self._np_keep_mask((n, t, hd), rate, seed_val))
+        gout = jnp.asarray(rng.normal(size=(n, hd)).astype(np.float32))
+
+        def f_kernel(qkv, pool):
+            # block_rows = n -> single grid block, block_id 0
+            out = exp_mhsa_pool(qkv, *_kernel_args(pool), seed, h, rate,
+                                False, n)
+            return jnp.sum(out * gout)
+
+        def f_ref(qkv, pool):
+            ctx = ref_attention(qkv[..., :hd], qkv[..., hd:2 * hd],
+                                qkv[..., 2 * hd:], h) * keep
+            return jnp.sum(A.attention_pooling(pool, ctx, None) * gout)
+
+        np.testing.assert_allclose(
+            np.asarray(f_kernel(qkv, pool)), np.asarray(f_ref(qkv, pool)),
+            rtol=1e-5)
+        gk = jax.grad(f_kernel, argnums=(0, 1))(qkv, pool)
+        gr = jax.grad(f_ref, argnums=(0, 1))(qkv, pool)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   rtol=1e-4, atol=1e-5)
+        for ka, kb in (("fc1", "w"), ("fc1", "b"), ("fc2", "w"), ("fc2", "b")):
+            np.testing.assert_allclose(
+                np.asarray(gk[1][ka][kb]), np.asarray(gr[1][ka][kb]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{ka}.{kb}")
+
+    def test_dropout_seed_variation(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool
+
+        n, t, h, d, qd = 16, 5, 3, 4, 6
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * h * d)).astype(np.float32))
+        pool = _pool_params(rng, h * d, qd)
+        s1 = jnp.asarray([13], jnp.int32)
+        s2 = jnp.asarray([14], jnp.int32)
+        a = exp_mhsa_pool(qkv, *_kernel_args(pool), s1, h, 0.3, False)
+        b = exp_mhsa_pool(qkv, *_kernel_args(pool), s1, h, 0.3, False)
+        c = exp_mhsa_pool(qkv, *_kernel_args(pool), s2, h, 0.3, False)
+        base = exp_mhsa_pool(qkv, *_kernel_args(pool), s1, h, 0.3, True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+        assert not np.allclose(np.asarray(a), np.asarray(base))
+        # the keep mask is blocking-independent: same result with 4-row blocks
+        a4 = exp_mhsa_pool(qkv, *_kernel_args(pool), s1, h, 0.3, False, 4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a4),
+                                   rtol=1e-6, atol=1e-7)
+
+
+class TestMhsaDropoutPoolWrapper:
+    def test_matches_composition_interpret(self, rng):
+        """mhsa_dropout_pool (fused kernel) == mhsa + pooling composed."""
+        from newsrecommendation_tpu.ops.attention import (
+            attention_pooling,
+            init_multi_head_self_attention,
+            mhsa_dropout_pool,
+            multi_head_self_attention,
+        )
+
+        b, s, dm, h = 6, 5, 12, 3
+        x = jnp.asarray(rng.normal(size=(b, s, dm)).astype(np.float32))
+        mask = jnp.asarray((rng.random((b, s)) > 0.3).astype(np.float32))
+        mask = mask.at[:, 0].set(1.0)
+        mp = init_multi_head_self_attention(jax.random.PRNGKey(1), dm, h, 4)
+        pp = _pool_params(rng, h * 4, 7)
+        got = mhsa_dropout_pool(mp, pp, x, mask, n_heads=h)
+        ctx = multi_head_self_attention(mp, x, mask, n_heads=h)
+        want = attention_pooling(pp, ctx, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)

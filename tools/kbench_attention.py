@@ -27,6 +27,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="headloop,blanes,xla")
     ap.add_argument("--iters", type=int, default=50)

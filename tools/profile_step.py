@@ -98,6 +98,10 @@ def main():
     args = ap.parse_args()
 
     if not args.parse_only:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_default_prng_impl", "rbg")
         from newsrecommendation_tpu.config import Config
         from newsrecommendation_tpu.ops.pallas import set_pallas_mode
