@@ -174,19 +174,22 @@ def _bwd_kernel(seed_ref, qkv_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
     # exp-normalize backward (m is stop_gradient; alpha carries the mask)
     d_a = (d_alpha - jnp.sum(d_alpha * alpha, axis=-1, keepdims=True)) * alpha
     # a = e @ w2 + b2
+    # Param grads contract over BOTH (bn, t); Mosaic's tpu.matmul only
+    # supports a single contracting dim, so dw2 runs as a VPU
+    # multiply+reduce and dw1 accumulates t single-contraction dots.
     d_e = d_a[:, :, None] * w2[:, 0][None, None, :].astype(jnp.float32)
-    dw2 = jax.lax.dot_general(
-        e, d_a, (((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, None]                                          # (Q, 1)
+    dw2 = jnp.sum(e * d_a[:, :, None], axis=(0, 1))[:, None]   # (Q, 1)
     db2 = jnp.sum(d_a)[None, None]                      # (1, 1)
     # e = tanh(ctx @ w1 + b1)
     d_z = d_e * (1.0 - e * e)
     db1 = jnp.sum(d_z, axis=(0, 1))[None, :]            # (1, Q)
-    dw1 = jax.lax.dot_general(
-        ctx.astype(d_z.dtype), d_z, (((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # (HD, Q)
+    ctx_l = ctx.astype(d_z.dtype)
+    dw1 = jnp.zeros((ctx.shape[2], d_z.shape[2]), jnp.float32)  # (HD, Q)
+    for i in range(ctx.shape[1]):
+        dw1 = dw1 + jax.lax.dot_general(
+            ctx_l[:, i, :], d_z[:, i, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     d_ctx = d_ctx + jax.lax.dot_general(
         d_z.astype(w1.dtype), w1, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
