@@ -363,6 +363,36 @@ class TestExpMhsaPool:
                 np.asarray(gk[1][ka][kb]), np.asarray(gr[1][ka][kb]),
                 rtol=1e-4, atol=1e-5, err_msg=f"{ka}.{kb}")
 
+    def test_grads_accumulate_across_blocks(self, rng):
+        """Param grads are accumulated across the sequential grid (init at
+        block 0, += after): a tiny block_rows forcing many grid steps must
+        match both the single-block kernel and the composed path. Dropout is
+        on, so the keep mask's blocking-independence (fwd and bwd run with
+        different block sizes) is exercised too."""
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_pool
+
+        n, t, h, d, qd = 8, 4, 2, 3, 5
+        qkv = jnp.asarray(rng.normal(size=(n, t, 3 * h * d)).astype(np.float32))
+        pool = _pool_params(rng, h * d, qd)
+        seed = jnp.asarray([1234], jnp.int32)
+        gout = jnp.asarray(rng.normal(size=(n, h * d)).astype(np.float32))
+
+        def f(block_rows):
+            def loss(qkv, pool):
+                out = exp_mhsa_pool(qkv, *_kernel_args(pool), seed, h, 0.3,
+                                    False, block_rows)
+                return jnp.sum(out * gout)
+            return jax.grad(loss, argnums=(0, 1))(qkv, pool)
+
+        g_small = f(2)      # 4 grid steps in fwd, 8 in bwd
+        g_big = f(128)      # single block
+        np.testing.assert_allclose(np.asarray(g_small[0]),
+                                   np.asarray(g_big[0]), rtol=1e-5, atol=1e-6)
+        for ka, kb in (("fc1", "w"), ("fc1", "b"), ("fc2", "w"), ("fc2", "b")):
+            np.testing.assert_allclose(
+                np.asarray(g_small[1][ka][kb]), np.asarray(g_big[1][ka][kb]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{ka}.{kb}")
+
     @staticmethod
     def _np_keep_mask(shape, rate, seed):
         """numpy oracle of fused_encoder._keep_mask (SplitMix32-style hash
