@@ -134,8 +134,10 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
     use_dropout = (not deterministic) and drop_rate > 0.0
 
     if nq == nk == nv and nq % n_heads == 0:
-        from newsrecommendation_tpu.ops.pallas import pallas_enabled
-        if pallas_enabled():
+        from newsrecommendation_tpu.ops.pallas.config import (
+            fused_tail_enabled,
+        )
+        if fused_tail_enabled():
             from newsrecommendation_tpu.ops.pallas.fused_encoder import (
                 exp_mhsa_pool,
                 exp_mhsa_pool_masked,

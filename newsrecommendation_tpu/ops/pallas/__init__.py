@@ -9,6 +9,8 @@ from newsrecommendation_tpu.ops.pallas.fused_encoder import (  # noqa: F401
     exp_mhsa_pool_masked,
 )
 from newsrecommendation_tpu.ops.pallas.config import (  # noqa: F401
+    fused_tail_enabled,
     pallas_enabled,
+    set_fused_tail,
     set_pallas_mode,
 )

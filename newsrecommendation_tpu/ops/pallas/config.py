@@ -32,3 +32,20 @@ def pallas_enabled() -> bool:
 
 def pallas_interpret() -> bool:
     return _MODE == "interpret"
+
+
+# The fused encoder-tail kernel (MHSA+dropout+pool in one kernel) is gated
+# separately from the attention kernels: its Mosaic compile at high head
+# counts is expensive (the per-head unroll appears in fwd AND bwd plus the
+# pooling backward), so callers can fall back to attention-kernel + XLA
+# pooling without losing the rest of the Pallas path.
+_FUSED_TAIL = True
+
+
+def set_fused_tail(enabled: bool) -> None:
+    global _FUSED_TAIL
+    _FUSED_TAIL = bool(enabled)
+
+
+def fused_tail_enabled() -> bool:
+    return _FUSED_TAIL and pallas_enabled()
