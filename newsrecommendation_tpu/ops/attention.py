@@ -137,7 +137,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
         from newsrecommendation_tpu.ops.pallas.config import (
             fused_tail_enabled,
         )
-        if fused_tail_enabled():
+        if fused_tail_enabled(n_heads):
             from newsrecommendation_tpu.ops.pallas.fused_encoder import (
                 exp_mhsa_pool,
                 exp_mhsa_pool_masked,

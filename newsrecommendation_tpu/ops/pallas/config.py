@@ -35,17 +35,35 @@ def pallas_interpret() -> bool:
 
 
 # The fused encoder-tail kernel (MHSA+dropout+pool in one kernel) is gated
-# separately from the attention kernels: its Mosaic compile at high head
-# counts is expensive (the per-head unroll appears in fwd AND bwd plus the
-# pooling backward), so callers can fall back to attention-kernel + XLA
-# pooling without losing the rest of the Pallas path.
-_FUSED_TAIL = True
+# separately from the attention kernels. Its Mosaic compile cost scales
+# badly with the per-head unroll: measured on TPU v5e at the bench config
+# (20 heads x d=20, bf16), the attention-only kernel compiles in ~140s but
+# one fused-tail forward instance costs ~950s (dropout variant; most of it
+# in lowering) and the masked variant longer still — the full train step
+# embeds four such kernels. "auto" therefore enables the tail fusion only
+# at small head counts where the unroll stays cheap; "on"/"off" force it.
+_FUSED_TAIL = "auto"  # "auto" | "on" | "off"
+_FUSED_TAIL_AUTO_MAX_HEADS = 8
 
 
-def set_fused_tail(enabled: bool) -> None:
+def set_fused_tail(mode) -> None:
+    """mode: "auto"/"on"/"off" (bools accepted as on/off)."""
     global _FUSED_TAIL
-    _FUSED_TAIL = bool(enabled)
+    if isinstance(mode, bool):
+        mode = "on" if mode else "off"
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused_tail mode {mode!r}")
+    _FUSED_TAIL = mode
 
 
-def fused_tail_enabled() -> bool:
-    return _FUSED_TAIL and pallas_enabled()
+def fused_tail_enabled(n_heads: int | None = None) -> bool:
+    if not pallas_enabled():
+        return False
+    if _FUSED_TAIL == "on":
+        return True
+    if _FUSED_TAIL == "off":
+        return False
+    # interpret mode (tests) has no Mosaic compile cost — always fuse
+    if _MODE == "interpret":
+        return True
+    return n_heads is not None and n_heads <= _FUSED_TAIL_AUTO_MAX_HEADS
