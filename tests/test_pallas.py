@@ -488,3 +488,75 @@ class TestMhsaDropoutPoolWrapper:
         want = attention_pooling(pp, ctx, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestBlanesExperimental:
+    """Batch-in-lanes experimental kernel == production fused-QKV kernel."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(11)
+
+    def test_forward_matches_qkv(self, rng):
+        from newsrecommendation_tpu.ops.pallas.experimental import (
+            exp_mhsa_qkv_blanes,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        got = exp_mhsa_qkv_blanes(qkv, 4)
+        want = exp_mhsa_qkv(qkv, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_masked_forward_matches_qkv(self, rng):
+        from newsrecommendation_tpu.ops.pallas.experimental import (
+            exp_mhsa_qkv_blanes_masked,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        mask = jnp.asarray((rng.random((8, 10)) > 0.3).astype(np.float32))
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        got = exp_mhsa_qkv_blanes_masked(qkv, mask, 4)
+        want = exp_mhsa_qkv_masked(qkv, mask, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_qkv(self, rng):
+        from newsrecommendation_tpu.ops.pallas.experimental import (
+            exp_mhsa_qkv_blanes_masked,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        mask = jnp.asarray((rng.random((8, 6)) > 0.4).astype(np.float32))
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+
+        def loss_blanes(qkv):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_blanes_masked(qkv, mask, 3)))
+
+        def loss_qkv(qkv):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_masked(qkv, mask, 3)))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_blanes)(qkv)),
+            np.asarray(jax.grad(loss_qkv)(qkv)),
+            rtol=1e-4, atol=1e-6)
+
+    def test_unmasked_grads_match_qkv(self, rng):
+        from newsrecommendation_tpu.ops.pallas.experimental import (
+            exp_mhsa_qkv_blanes,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+
+        def loss_blanes(qkv):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_blanes(qkv, 3)))
+
+        def loss_qkv(qkv):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv(qkv, 3)))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_blanes)(qkv)),
+            np.asarray(jax.grad(loss_qkv)(qkv)),
+            rtol=1e-4, atol=1e-6)
