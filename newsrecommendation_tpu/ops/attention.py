@@ -193,6 +193,18 @@ def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
                 # q/k/v splits forward, no dq/dk/dv concat backward (those
                 # relayout copies cost more than the attention math — see
                 # docs/PERF.md)
+                from newsrecommendation_tpu.ops.pallas.config import (
+                    attention_layout,
+                )
+                if attention_layout() == "blanes":
+                    from newsrecommendation_tpu.ops.pallas.experimental import (
+                        exp_mhsa_qkv_blanes,
+                        exp_mhsa_qkv_blanes_masked,
+                    )
+                    if mask is None:
+                        return exp_mhsa_qkv_blanes(qkv, n_heads)
+                    return exp_mhsa_qkv_blanes_masked(
+                        qkv, mask.astype(jnp.float32), n_heads)
                 from newsrecommendation_tpu.ops.pallas import (
                     exp_mhsa_qkv,
                     exp_mhsa_qkv_masked,

@@ -67,3 +67,22 @@ def fused_tail_enabled(n_heads: int | None = None) -> bool:
     if _MODE == "interpret":
         return True
     return n_heads is not None and n_heads <= _FUSED_TAIL_AUTO_MAX_HEADS
+
+
+# In-kernel attention formulation for the fused-QKV kernels. "headloop"
+# (default) issues per-head bn-batched dots; "blanes" transposes each block
+# to batch-in-lanes and runs the contractions as VPU multiply-reduces
+# (ops/pallas/experimental.py). Switchable so hardware micro-benches can
+# A/B the full train step.
+_ATTN_LAYOUT = "headloop"  # "headloop" | "blanes"
+
+
+def set_attention_layout(layout: str) -> None:
+    global _ATTN_LAYOUT
+    if layout not in ("headloop", "blanes"):
+        raise ValueError(f"unknown attention layout {layout!r}")
+    _ATTN_LAYOUT = layout
+
+
+def attention_layout() -> str:
+    return _ATTN_LAYOUT

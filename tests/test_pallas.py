@@ -246,6 +246,32 @@ class TestMhsaIntegration:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_mhsa_blanes_layout_routes_and_matches(self, rng):
+        """attention_layout('blanes') engages the experimental kernels and
+        matches the default routing, masked and unmasked."""
+        from newsrecommendation_tpu.ops import (
+            init_multi_head_self_attention,
+            multi_head_self_attention,
+        )
+        from newsrecommendation_tpu.ops.pallas.config import (
+            set_attention_layout,
+        )
+        params = init_multi_head_self_attention(jax.random.PRNGKey(0), 16, 4, 4)
+        x = jnp.asarray(rng.normal(size=(6, 5, 16)).astype(np.float32))
+        mask = jnp.asarray((rng.random((6, 5)) > 0.3).astype(np.float32))
+        try:
+            set_attention_layout("blanes")
+            got = multi_head_self_attention(params, x, None, n_heads=4)
+            got_m = multi_head_self_attention(params, x, mask, n_heads=4)
+        finally:
+            set_attention_layout("headloop")
+        want = multi_head_self_attention(params, x, None, n_heads=4)
+        want_m = multi_head_self_attention(params, x, mask, n_heads=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=1e-5, atol=1e-6)
+
 
 # ---------------------------------------------------------------------------
 # Fused encoder tail: MHSA -> dropout -> attention pooling
