@@ -34,6 +34,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="headloop,blanes,xla")
+    ap.add_argument("--grad", action="store_true",
+                    help="time forward+backward (sum-of-tanh loss) instead "
+                         "of forward only")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--n", type=int, default=7040)
     ap.add_argument("--t", type=int, default=20)
@@ -67,17 +70,27 @@ def main():
 
     variants = {
         "headloop": jax.jit(lambda qkv: exp_mhsa_qkv(qkv, h)),
-        "blanes": lambda qkv: exp_mhsa_qkv_blanes(qkv, h),
+        "blanes": jax.jit(lambda qkv: exp_mhsa_qkv_blanes(qkv, h)),
         "xla": jax.jit(xla_path),
     }
+    if args.grad:
+        def as_grad(f):
+            return jax.jit(jax.grad(lambda qkv: jnp.sum(jnp.tanh(
+                f(qkv).astype(jnp.float32)))))
+        variants = {name: as_grad(fn) for name, fn in variants.items()}
 
     want = None
     for name in args.variants.split(","):
         fn = variants[name]
         # chain x -> f(x) padded back to qkv width to defeat memoization
-        def chained(x, fn=fn):
-            o = fn(x)
-            return jnp.concatenate([o, o, x[..., 2 * h * d:]], axis=-1)
+        if args.grad:
+            # dqkv already has qkv's shape; mix in x so values keep moving
+            def chained(x, fn=fn):
+                return fn(x) + 0.5 * x
+        else:
+            def chained(x, fn=fn):
+                o = fn(x)
+                return jnp.concatenate([o, o, x[..., 2 * h * d:]], axis=-1)
 
         chained = jax.jit(chained)
         x = chained(x0)
