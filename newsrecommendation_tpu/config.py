@@ -80,6 +80,8 @@ class Config:
     donate_state: bool = True
     steps_per_call: int = 1  # k>1: lax.scan k optimizer steps per dispatch
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
+    fused_tail: str = "auto"  # "auto" | "on" | "off" — fused MHSA+pool kernel
+    attention_layout: str = "headloop"  # "headloop" | "blanes" in-kernel layout
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
@@ -103,6 +105,11 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
+        if self.fused_tail not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused_tail {self.fused_tail!r}")
+        if self.attention_layout not in ("headloop", "blanes"):
+            raise ValueError(
+                f"unknown attention_layout {self.attention_layout!r}")
         if self.steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, "
                              f"got {self.steps_per_call}")

@@ -177,6 +177,12 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
       occupies <3% of the 128x128 MXU; the VPU formulation is ~2x faster
       and fuses with the exp-normalize.
     - Larger heads use batched MXU einsums.
+
+    NOTE: kernel dispatch (pallas mode, attention layout, fused tail) is
+    read at PYTHON TRACE TIME. Flipping a switch after a step has been
+    jitted leaves the cached executable on the old choice (same shapes, no
+    retrace) — call ``jax.clear_caches()`` after ``set_attention_layout``
+    etc., or set them before the first jitted call (cli.main does).
     """
     qkv, nq, nk, nv = _fused_qkv(params, x)
     return _mhsa_from_qkv(qkv, nq, nk, nv, mask, n_heads=n_heads)

@@ -1,16 +1,27 @@
-"""Experimental in-kernel attention formulations (forward only).
+"""Alternative in-kernel attention layout: batch-in-lanes ("blanes").
 
-The production kernels (fused_attention.py) loop heads and issue bn-batched
-(T,d)x(d,T) dots — MXU-latency-bound at the NRMS shape (T=d=20, H=20). The
-variants here explore layouts that keep the VPU's 128 lanes full instead:
+The default kernels (fused_attention.py, layout "headloop") loop heads and
+issue bn-batched (T,d)x(d,T) dots — MXU-latency-bound at the NRMS shape
+(T=d=20, H=20). The variants here keep the VPU's 128 lanes full instead:
 
-- ``exp_mhsa_qkv_blanes``: transpose each block to batch-minor (T, W, bn)
-  so every elementwise/reduce op runs with bn=block_rows in the lane
-  dimension (zero lane waste); per head the score/context contractions are
-  broadcast-multiply-reduce over tiny (20,20,20,bn) tensors in VMEM.
+- ``exp_mhsa_qkv_blanes`` / ``exp_mhsa_qkv_blanes_masked``: transpose each
+  block to batch-minor (T, W, bn) so every elementwise/reduce op runs with
+  bn=block_rows in the lane dimension (zero lane waste); per head the
+  score/context contractions are broadcast-multiply-reduce over tiny
+  (20,20,20,bn) tensors in VMEM. Both carry full custom VJPs
+  (full-recompute backward, same contract as the headloop kernels).
 
-Used by tools/kbench_attention.py; promoted into the production path only
-if measured faster on hardware.
+Production routing is config-gated: ``set_attention_layout("blanes")``
+(ops/pallas/config.py) switches ``_mhsa_from_qkv`` to these kernels; the
+switch must be flipped BEFORE the first jitted call (see
+ops/attention.py docstring). tools/kbench_attention.py A/Bs the layouts
+per-kernel and over the full train step.
+
+Numerics: attention weights and ds are rounded to the input dtype before
+the v/k/q contractions (accumulation in f32), mirroring the headloop
+kernels' ``a.astype(vh.dtype)`` / ``ds.astype(kh.dtype)`` MXU downcasts, so
+bf16 layout A/Bs compare like for like (reduction order still differs —
+VPU tree-reduce vs MXU — so agreement is close, not bitwise).
 """
 
 from __future__ import annotations
@@ -24,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from newsrecommendation_tpu.ops.pallas.config import pallas_interpret
+from newsrecommendation_tpu.ops.pallas.fused_attention import _block_rows
 
 _EPS = 1e-8
 
@@ -59,7 +71,10 @@ def _blanes_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None):
     outs = []
     for h in range(n_heads):
         _, _, vh, a = _blanes_attn(xt, mt, h, n_heads, d_head)
-        ctx = jnp.sum(a[:, :, None, :] * vh[None, :, :, :].astype(jnp.float32),
+        # round a to the value dtype first (the headloop kernels feed
+        # a.astype(vh.dtype) to the MXU), then accumulate in f32
+        al = a.astype(vh.dtype).astype(jnp.float32)
+        ctx = jnp.sum(al[:, :, None, :] * vh[None, :, :, :].astype(jnp.float32),
                       axis=1)                                  # (Tq, d, bn)
         outs.append(ctx)
     oct_ = jnp.concatenate(outs, axis=1)                       # (T, HD, bn)
@@ -78,31 +93,30 @@ def _blanes_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head,
     dqs, dks, dvs = [], [], []
     for h in range(n_heads):
         qh, kh, vh, a = _blanes_attn(xt, mt, h, n_heads, d_head)
-        gh = gt[:, h * d_head:(h + 1) * d_head, :].astype(jnp.float32)
+        gh_raw = gt[:, h * d_head:(h + 1) * d_head, :]
+        gh = gh_raw.astype(jnp.float32)
         vf = vh.astype(jnp.float32)
         qf = qh.astype(jnp.float32)
         kf = kh.astype(jnp.float32)
+        # a/ds rounded to the input dtype before the contractions, f32
+        # accumulate — mirrors the headloop a.astype(gh.dtype) /
+        # ds.astype(kh.dtype) MXU downcasts (see module docstring)
+        al = a.astype(gh_raw.dtype).astype(jnp.float32)
         # dV[k,d,b] = sum_q a[q,k,b] g[q,d,b]
-        dv = jnp.sum(a[:, :, None, :] * gh[:, None, :, :], axis=0)
+        dv = jnp.sum(al[:, :, None, :] * gh[:, None, :, :], axis=0)
         # dA[q,k,b] = sum_d g[q,d,b] v[k,d,b]
         da = jnp.sum(gh[:, None, :, :] * vf[None, :, :, :], axis=2)
         # a carries the mask (a=0 on masked keys) — unmasked formula exact
         ds = (da - jnp.sum(da * a, axis=1, keepdims=True)) * a * inv
+        dsl = ds.astype(kh.dtype).astype(jnp.float32)
         # dQ[q,d,b] = sum_k ds[q,k,b] k[k,d,b]; dK[k,d,b] = sum_q ds q
-        dq = jnp.sum(ds[:, :, None, :] * kf[None, :, :, :], axis=1)
-        dk = jnp.sum(ds[:, :, None, :] * qf[:, None, :, :], axis=0)
+        dq = jnp.sum(dsl[:, :, None, :] * kf[None, :, :, :], axis=1)
+        dk = jnp.sum(dsl[:, :, None, :] * qf[:, None, :, :], axis=0)
         dqs.append(dq)
         dks.append(dk)
         dvs.append(dv)
     dxt = jnp.concatenate(dqs + dks + dvs, axis=1)            # (T, 3HD, bn)
     dqkv_ref[...] = jnp.transpose(dxt, (2, 0, 1)).astype(dqkv_ref.dtype)
-
-
-def _block_rows(n: int, target: int) -> int:
-    b = min(n, target)
-    while n % b:
-        b -= 1
-    return b
 
 
 def _blanes_specs(n, t, w3, bn):

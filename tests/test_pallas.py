@@ -586,3 +586,38 @@ class TestBlanesExperimental:
             np.asarray(jax.grad(loss_blanes)(qkv)),
             np.asarray(jax.grad(loss_qkv)(qkv)),
             rtol=1e-4, atol=1e-6)
+
+    def test_bf16_matches_headloop(self, rng):
+        """Both layouts round attention weights / ds to the input dtype
+        before the value/key/query contractions (f32 accumulate), so bf16
+        layout A/Bs agree to bf16 rounding — mirrors
+        TestExpMhsaForward.test_bf16_matches_f32_reference."""
+        from newsrecommendation_tpu.ops.pallas.experimental import (
+            exp_mhsa_qkv_blanes_masked,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        mask = jnp.asarray((rng.random((8, 10)) > 0.3).astype(np.float32))
+        qkv = jnp.concatenate([q, k, v], axis=-1).astype(jnp.bfloat16)
+
+        got = exp_mhsa_qkv_blanes_masked(qkv, mask, 4)
+        want = exp_mhsa_qkv_masked(qkv, mask, 4)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+        def loss_blanes(x):
+            return jnp.sum(jnp.tanh(
+                exp_mhsa_qkv_blanes_masked(x, mask, 4).astype(jnp.float32)))
+
+        def loss_qkv(x):
+            return jnp.sum(jnp.tanh(
+                exp_mhsa_qkv_masked(x, mask, 4).astype(jnp.float32)))
+
+        g_b = jax.grad(loss_blanes)(qkv)
+        g_h = jax.grad(loss_qkv)(qkv)
+        assert g_b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(g_b, np.float32), np.asarray(g_h, np.float32),
+            rtol=5e-2, atol=5e-2)
