@@ -57,7 +57,7 @@ from newsrecommendation_tpu.utils import dump_config, setup_logger
 def build_embedding_table(cfg, data_dir: str, corpus) -> np.ndarray:
     """The title-embedding input for model init, per title_source."""
     if cfg.title_source == "doc_table":
-        return read_news_embeddings(data_dir)
+        return read_news_embeddings(data_dir, backend=cfg.embedding_backend)
     if cfg.glove_embedding_path:
         matrix, have = load_glove_matrix(
             cfg.glove_embedding_path, corpus.word_dict, cfg.word_embedding_dim
@@ -110,6 +110,11 @@ def run_train(cfg: Config):
                 else os.path.join(cfg.model_dir, cfg.load_ckpt_name))
         assert path is not None, f"no checkpoint found in {cfg.model_dir}"
         state, _ = load_checkpoint(path, state, cfg)
+        if mesh is not None:
+            # load_checkpoint returns host arrays for the restored leaves;
+            # re-place so the resumed state re-enters the jitted shard_map
+            # step with the same (sharded-table) placement it was built with
+            state = place_state(state, mesh, cfg.table_shards > 1)
 
     num_shards = mesh.shape["data"] if mesh is not None else 1
     # The global batch spans the data axis; each PROCESS feeds its local
@@ -128,8 +133,14 @@ def run_train(cfg: Config):
 
     samples = TrainSamples.from_file(shard_path, corpus.news_index, cfg)
 
+    # This process feeds only its addressable rows of the global batch
+    # (== the full global batch single-controller); shard_batch assembles
+    # the global array from the per-process slices.
+    from newsrecommendation_tpu.parallel.mesh import local_batch_size
+
+    feed_size = local_batch_size(mesh, cfg.batch_size * num_shards)
     batch_example = next(samples.iter_batches(
-        news_features, cfg.batch_size * num_shards, epoch=0, seed=0))
+        news_features, feed_size, epoch=0, seed=0))
     train_step = make_spmd_train_step(cfg, model, mesh, state,
                                       batch_example=batch_example)
     multi_step = (
@@ -144,7 +155,7 @@ def run_train(cfg: Config):
         "subcategory_dict": corpus.subcategory_dict,
         "word_dict": corpus.word_dict,
     }
-    global_cfg = cfg.replace(batch_size=cfg.batch_size * num_shards)
+    global_cfg = cfg.replace(batch_size=feed_size)
     state, stats = fit(global_cfg, model, state, samples, news_features,
                        mesh=mesh, train_step=train_step,
                        multi_step=multi_step, vocabs=vocabs,
@@ -206,9 +217,15 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
     sim = doc_sim_probe(news_scoring, num_pairs=1_000_000, seed=cfg.seed)
     logging.info("News doc-sim: %.4f", sim)
 
-    shard_path = os.path.join(cfg.test_data_dir, "behaviors_0.tsv")
+    # Each PROCESS evaluates its own impression shard (the reference's
+    # per-rank behaviors_{rank}.tsv, prepare_data.py:52-66); the metric
+    # sums are all-reduced across processes inside evaluate_impressions.
+    num_hosts = jax.process_count()
+    host_shard = jax.process_index()
+    shard_path = os.path.join(cfg.test_data_dir,
+                              f"behaviors_{host_shard}.tsv")
     if cfg.prepare or not os.path.exists(shard_path):
-        prepare_testing_data(cfg.test_data_dir, 1)
+        prepare_testing_data(cfg.test_data_dir, num_hosts)
     eval_samples = EvalSamples.from_file(
         shard_path, corpus.news_index, cfg, max_candidates=cfg.max_candidates
     )
@@ -268,12 +285,17 @@ def main(argv=None):
         # reference demo.sh flips user_log_mask on for testing (demo.sh:26)
         run_test(cfg, state=state, vocabs=vocabs)
     if cfg.mode == "create_embeddings":
+        # reference demo.sh:33-35 builds BPEmb tables (the default backend);
+        # --embedding_backend bert|hash selects the others
         create_news_embeddings(cfg.train_data_dir, cfg.num_words_title,
-                               cfg.word_embedding_dim)
+                               cfg.word_embedding_dim,
+                               backend=cfg.embedding_backend)
         create_news_embeddings(cfg.test_data_dir, cfg.num_words_title,
-                               cfg.word_embedding_dim)
+                               cfg.word_embedding_dim,
+                               backend=cfg.embedding_backend)
     if cfg.mode == "read_embeddings":
-        table = read_news_embeddings(cfg.train_data_dir)
+        table = read_news_embeddings(cfg.train_data_dir,
+                                     backend=cfg.embedding_backend)
         logging.info("embedding table: %s %s", table.shape, table.dtype)
 
 

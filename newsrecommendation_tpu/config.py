@@ -66,6 +66,11 @@ class Config:
     model_dir: str = "model"
     load_ckpt_name: Optional[str] = None
     glove_embedding_path: Optional[str] = None
+    # Precomputed-title-table backend for --mode create_embeddings:
+    # "bpemb" (the reference demo's multilingual BPEmb, preprocess.py:112-168),
+    # "bert" (last-4-layer sum, preprocess.py:170-225), or "hash"
+    # (dependency-free deterministic fallback for offline environments).
+    embedding_backend: str = "bpemb"
 
     # ---- TPU-native knobs (no reference equivalent) ------------------------
     # Mesh: data-parallel axis x table-sharding axis. data_parallel=0 means
@@ -110,6 +115,9 @@ class Config:
         if self.attention_layout not in ("headloop", "blanes"):
             raise ValueError(
                 f"unknown attention_layout {self.attention_layout!r}")
+        if self.embedding_backend not in ("bpemb", "bert", "hash"):
+            raise ValueError(
+                f"unknown embedding_backend {self.embedding_backend!r}")
         if self.steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, "
                              f"got {self.steps_per_call}")

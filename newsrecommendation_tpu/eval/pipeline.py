@@ -106,17 +106,66 @@ def make_eval_step(model, cfg):
     return eval_step
 
 
+def combine_metric_sums(per_shard_sums) -> Dict[str, float]:
+    """Sum metric-sum dicts from several eval shards into one (the exact
+    math of the reference's two dist.reduce(SUM) calls, main.py:269-275)."""
+    total: Dict[str, float] = {}
+    for sums in per_shard_sums:
+        for k, v in sums.items():
+            total[k] = total.get(k, 0.0) + float(v)
+    return total
+
+
+def cross_process_sum(sums: Dict[str, float]) -> Dict[str, float]:
+    """All-reduce metric sums across JAX processes.
+
+    Single-process (including single-process multi-device meshes, where the
+    per-batch work is already sharded over 'data') this is the identity.
+    On a multi-controller deployment every process evaluates its own
+    behaviors_{process_index}.tsv shard and this gathers + sums the scalar
+    sums from all of them — the reference's dist.reduce(SUM) to rank 0
+    (main.py:269-275), except the result is replicated to every process.
+    """
+    if jax.process_count() == 1:
+        return dict(sums)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(sums)
+    local = np.asarray([sums[k] for k in keys], dtype=np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    return combine_metric_sums(
+        [dict(zip(keys, row)) for row in gathered.reshape(-1, len(keys))]
+    )
+
+
+def summarize_metric_sums(sums: Dict[str, float],
+                          samples_seen: float) -> Dict[str, float]:
+    """Weighted means from (possibly globally-reduced) metric sums."""
+    sums = dict(sums)
+    count = max(sums.pop("count"), 1.0)
+    result = {k: v / count for k, v in sums.items()}
+    result["count"] = count
+    result["samples_seen"] = float(samples_seen)
+    return result
+
+
 def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
                          log_every: Optional[int] = None,
-                         mesh=None) -> Dict[str, float]:
-    """Run phase 2 over all impressions; returns mean metrics + sample count.
+                         mesh=None, all_reduce: bool = True,
+                         return_sums: bool = False) -> Dict[str, float]:
+    """Run phase 2 over this process's impressions; returns mean metrics.
 
     Padded batch rows have all-zero candidate masks, so they are excluded by
     the degenerate-impression filter automatically — as are real impressions
     with all-0/all-1 labels (reference main.py:250-251). With a mesh, each
     batch's rows are sharded over the 'data' axis so the user-encoder and
-    pairwise-AUC work spread across chips; the metric-sum reduction is the
-    psum analogue of the reference's dist.reduce (main.py:269-275).
+    pairwise-AUC work spread across local chips. Across PROCESSES, each
+    process runs over its own impression shard and (all_reduce=True) the
+    host-side scalar metric sums are combined with ``cross_process_sum`` —
+    the reference's dist.reduce pattern (main.py:269-275).
+
+    return_sums=True returns the raw LOCAL sums dict instead of means
+    (used by tests to check shard-combine math against a full run).
     """
     eval_step = make_eval_step(model, cfg)
     news_scoring = jnp.asarray(news_scoring)
@@ -144,8 +193,11 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
                 seen, 100 * sums["auc"] / c, 100 * sums["mrr"] / c,
                 100 * sums["ndcg5"] / c, 100 * sums["ndcg10"] / c,
             )
-    count = max(sums.pop("count"), 1.0)
-    result = {k: v / count for k, v in sums.items()}
-    result["count"] = count
-    result["samples_seen"] = float(seen)
-    return result
+    if return_sums:
+        sums["samples_seen"] = float(seen)
+        return sums
+    if all_reduce:
+        global_sums = cross_process_sum(dict(sums, samples_seen=float(seen)))
+        seen = global_sums.pop("samples_seen")
+        sums = global_sums
+    return summarize_metric_sums(sums, seen)

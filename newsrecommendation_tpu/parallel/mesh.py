@@ -55,20 +55,62 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def owned_data_rows(mesh: Mesh, process_index: Optional[int] = None):
+    """Indices along the 'data' axis whose devices this process owns.
+
+    On a multi-controller deployment each process addresses only its local
+    chips; a batch row-sharded over 'data' must be fed per process from
+    process-local data covering exactly these rows (the reference's
+    per-rank shard files, prepare_data.py:39-47, mapped onto mesh rows).
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    devs = mesh.devices  # (data, table) ndarray of Devices
+    return [
+        i for i in range(devs.shape[0])
+        if all(d.process_index == process_index for d in devs[i].flat)
+    ]
+
+
+def local_batch_size(mesh: Optional[Mesh], global_batch: int,
+                     process_index: Optional[int] = None) -> int:
+    """Rows of a 'data'-sharded global batch this process must supply."""
+    if mesh is None:
+        return global_batch
+    dp = mesh.devices.shape[0]
+    assert global_batch % dp == 0, (global_batch, dp)
+    return global_batch // dp * len(owned_data_rows(mesh, process_index))
+
+
+def _put(mesh: Mesh, spec: P, v):
+    """Host array -> global device array on the mesh.
+
+    Single-controller: plain device_put. Multi-controller: the host array
+    is this process's LOCAL slice; assemble the global array from
+    process-local data (each process feeds only its addressable shards).
+    """
+    s = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(s, np.asarray(v))
+    return jax.device_put(v, s)
+
+
 def shard_batch(mesh: Optional[Mesh], batch: dict) -> dict:
-    """Place a host batch dict onto the mesh, batch-dim sharded over 'data'."""
+    """Place a host batch dict onto the mesh, batch-dim sharded over 'data'.
+
+    With multiple processes, `batch` holds each process's local rows (use
+    local_batch_size) and the returned arrays are global.
+    """
     if mesh is None:
         return {k: jax.device_put(v) for k, v in batch.items()}
-    s = batch_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    return {k: _put(mesh, P(DATA_AXIS), v) for k, v in batch.items()}
 
 
 def shard_stacked_batch(mesh: Optional[Mesh], stacked: dict) -> dict:
     """Place a (k, B, ...) stack of k batches; batch dim (axis 1) over 'data'."""
     if mesh is None:
         return {k: jax.device_put(v) for k, v in stacked.items()}
-    s = NamedSharding(mesh, P(None, DATA_AXIS))
-    return {k: jax.device_put(v, s) for k, v in stacked.items()}
+    return {k: _put(mesh, P(None, DATA_AXIS), v) for k, v in stacked.items()}
 
 
 def replicate(mesh: Optional[Mesh], tree):

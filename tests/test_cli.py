@@ -86,7 +86,7 @@ def test_use_pallas_flag_wired(synthetic_dirs):
         # create_embeddings touches no model code but runs main()'s full
         # knob wiring
         main(["--mode", "create_embeddings", "--use_pallas", "off",
-              "--attention_layout", "blanes",
+              "--attention_layout", "blanes", "--embedding_backend", "hash",
               "--train_data_dir", train_dir, "--test_data_dir", dev_dir,
               "--num_words_title", "4", "--word_embedding_dim", "8"])
         assert pallas_enabled() is False
