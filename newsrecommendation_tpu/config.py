@@ -71,6 +71,10 @@ class Config:
     # "bert" (last-4-layer sum, preprocess.py:170-225), or "hash"
     # (dependency-free deterministic fallback for offline environments).
     embedding_backend: str = "bpemb"
+    # Title tokenizer: "treebank" = NLTK-faithful word_tokenize(lower())
+    # (the upstream vocab the README numbers depend on, preprocess.py:29-30);
+    # "regex" = fast approximation.
+    tokenizer: str = "treebank"
 
     # ---- TPU-native knobs (no reference equivalent) ------------------------
     # Mesh: data-parallel axis x table-sharding axis. data_parallel=0 means
@@ -118,6 +122,8 @@ class Config:
         if self.embedding_backend not in ("bpemb", "bert", "hash"):
             raise ValueError(
                 f"unknown embedding_backend {self.embedding_backend!r}")
+        if self.tokenizer not in ("treebank", "regex"):
+            raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
         if self.steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, "
                              f"got {self.steps_per_call}")

@@ -26,14 +26,29 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-# Lowercase word tokenizer: word-internal apostrophes kept, punctuation as
-# separate tokens (approximates the upstream nltk word_tokenize behavior
-# without the nltk dependency).
+# Fast lowercase regex tokenizer: word-internal apostrophes kept,
+# punctuation as separate tokens (a cheap approximation of nltk
+# word_tokenize; NOT vocabulary-identical to it).
 _TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z0-9]+)*|[^\sa-z0-9]")
 
 
-def tokenize(text: str) -> List[str]:
-    return _TOKEN_RE.findall(text.lower())
+def tokenize(text: str, kind: str = "treebank") -> List[str]:
+    """Lowercase + word-tokenize a title.
+
+    kind="treebank" (default) reproduces the upstream pipeline's
+    ``word_tokenize(title.lower())`` (reference preprocess.py:29-30) via the
+    dependency-free NLTK-faithful reimplementation in data/tokenizer.py —
+    the vocabulary-parity path for the README numbers. kind="regex" is the
+    faster approximation (distinct vocab; fine for synthetic experiments).
+    """
+    if kind == "regex":
+        return _TOKEN_RE.findall(text.lower())
+    if kind == "treebank":
+        from newsrecommendation_tpu.data.tokenizer import (
+            treebank_word_tokenize,
+        )
+        return treebank_word_tokenize(text.lower())
+    raise ValueError(f"unknown tokenizer {kind!r}")
 
 
 def _assign_id(d: dict, key) -> None:
@@ -81,7 +96,7 @@ def read_news(news_path: str, cfg, mode: str = "train",
             _assign_id(news_index, doc_id)
             if doc_id not in categories:
                 categories[doc_id] = (category, subcategory)
-                toks = tokenize(title)
+                toks = tokenize(title, getattr(cfg, "tokenizer", "treebank"))
                 titles[doc_id] = toks
                 raw_titles[doc_id] = title
                 if mode == "train":

@@ -282,10 +282,16 @@ def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head,
 
 
 def _block_rows(n: int, target: int) -> int:
+    """Mosaic-legal row-block size: the largest divisor of n that is <=
+    target AND divisible by 8 (the sublane tiling requirement when the row
+    dim lands second-to-last in a 2-D block, e.g. the key mask), falling
+    back to the whole array (block == array is always legal)."""
     b = min(n, target)
-    while n % b:
+    while b >= 8:
+        if n % b == 0 and b % 8 == 0:
+            return b
         b -= 1
-    return b
+    return n
 
 
 def _fwd_call(q, k, v, n_heads, d_head, block_rows):

@@ -116,3 +116,18 @@ def test_main_train_test_end_to_end(synthetic_dirs, tmp_path):
         "--max_candidates", "16",
     ])
     assert (tmp_path / "model" / "epoch-2.ckpt").exists()
+
+
+@pytest.mark.slow
+def test_parity_harness_dry_run():
+    """The one-command parity harness end-to-end on synthetic data (the
+    documented offline mode of tools/parity_run.py; real-MIND bands apply
+    when data is on disk)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import parity_run
+    finally:
+        sys.path.pop(0)
+    assert parity_run.main(["--dry_run", "--model", "NRMS"]) == 0

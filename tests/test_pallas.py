@@ -97,8 +97,10 @@ class TestExpMhsaForward:
 
     def test_block_rows_divisor(self):
         assert _block_rows(6400, 64) == 64
-        assert _block_rows(100, 64) == 50
+        # no 8-aligned divisor <= target -> whole array (Mosaic-legal)
+        assert _block_rows(100, 64) == 100
         assert _block_rows(7, 64) == 7
+        assert _block_rows(120, 64) == 40  # not 60: sublane-aligned
 
 
 class TestExpMhsaBackward:
