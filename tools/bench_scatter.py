@@ -1,0 +1,115 @@
+"""Measure embedding-table gradient strategies on TPU.
+
+The NRMS word-ids config gathers B*(1+K)*T + B*L*T = 128*5*20 + 128*50*20
+= 140,800 word ids per step from a (30k, 300) table; the gather's transpose
+is a scatter-add PERF.md measured at ~5.7 ms/step (f32). Candidates:
+
+  take       — jnp.take; XLA scatter-add backward (baseline)
+  sorted     — custom VJP: argsort ids, gather-sorted grads, scatter with
+               indices_are_sorted hint
+  segsum     — custom VJP: sort + segment_sum(num_segments=vocab)
+  onehot     — dL/dT = onehot(ids)^T @ g as one MXU matmul (dense, f32)
+  onehot_bf16— same, bf16 operands / f32 accumulate
+"""
+
+import sys, time, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    V, D = 30000, 300
+    N = 140800  # flattened id count per step at the bench config
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    # zipf-ish id distribution like natural word frequencies
+    ids0 = jnp.asarray((rng.zipf(1.3, size=N) % V).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    def grad_of(lookup):
+        def loss(t, ids):
+            return jnp.vdot(lookup(t, ids), g)
+        return jax.jit(jax.grad(loss))
+
+    def take(t, ids):
+        return jnp.take(t, ids, axis=0)
+
+    def sorted_scatter(t, ids):
+        return jnp.take(t, ids, axis=0)
+    # build custom-vjp variants
+    import functools
+
+    @jax.custom_vjp
+    def lookup_sorted(t, ids):
+        return jnp.take(t, ids, axis=0)
+    def _ls_fwd(t, ids):
+        return jnp.take(t, ids, axis=0), (ids, t.shape[0])
+    def _ls_bwd(res, gy):
+        ids, V = res
+        order = jnp.argsort(ids)
+        sid = ids[order]
+        sg = jnp.take(gy, order, axis=0)
+        dt = jnp.zeros((V, gy.shape[-1]), gy.dtype).at[sid].add(
+            sg, indices_are_sorted=True)
+        return dt, None
+    lookup_sorted.defvjp(_ls_fwd, _ls_bwd)
+
+    @jax.custom_vjp
+    def lookup_segsum(t, ids):
+        return jnp.take(t, ids, axis=0)
+    def _seg_fwd(t, ids):
+        return jnp.take(t, ids, axis=0), (ids, t.shape[0])
+    def _seg_bwd(res, gy):
+        ids, V = res
+        dt = jax.ops.segment_sum(gy, ids, num_segments=V)
+        return dt, None
+    lookup_segsum.defvjp(_seg_fwd, _seg_bwd)
+
+    def make_onehot(dtype):
+        @jax.custom_vjp
+        def lookup_oh(t, ids):
+            return jnp.take(t, ids, axis=0)
+        def _oh_fwd(t, ids):
+            return jnp.take(t, ids, axis=0), (ids, t.shape[0])
+        def _oh_bwd(res, gy):
+            ids, V = res
+            oh = jax.nn.one_hot(ids, V, dtype=dtype)   # (N, V)
+            dt = jax.lax.dot_general(
+                oh, gy.astype(dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dt, None
+        lookup_oh.defvjp(_oh_fwd, _oh_bwd)
+        return lookup_oh
+
+    variants = {
+        "take": take,
+        "sorted": lookup_sorted,
+        "segsum": lookup_segsum,
+        "onehot": make_onehot(jnp.float32),
+        "onehot_bf16": make_onehot(jnp.bfloat16),
+    }
+
+    for name, fn in variants.items():
+        gfn = grad_of(fn)
+        # chain: feed the grad back as the next table (same shape) to defeat
+        # memoization; rotate ids by +1 each call
+        t = table
+        ids = ids0
+        out = gfn(t, ids); jax.block_until_ready(out)
+        n = 30
+        t0 = time.perf_counter()
+        for i in range(n):
+            t = gfn(t, (ids + i) % V)
+        jax.block_until_ready(t)
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name:12s}: {dt*1e3:7.3f} ms/grad")
+
+if __name__ == "__main__":
+    main()
