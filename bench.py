@@ -1,20 +1,25 @@
-"""Benchmark: NRMS training throughput on one TPU chip.
+"""Benchmarks: training throughput + impression-scoring QPS on one TPU chip.
 
-Measures the jitted train step (forward + backward + Adam, dropout on) at
-the reference's effective MIND-small configuration (batch 128, history 50,
-title 20, 300-d words, 400-d news vectors — README.md "32*4" rows) and
-prints ONE JSON line.
+Emits MULTIPLE JSON lines (one metric each): NAML training, NRMS with a
+TRAINABLE word table, impression-scoring QPS, and — LAST, as the headline
+metric the driver records — NRMS at the reference demo config (frozen
+table, bf16 activations). Each training line carries an analytic-FLOPs
+model-TFLOP/s estimate so "is it actually fast" is answerable in absolute
+terms, not only against this repo's own anchor.
+
+Measured configs follow the reference's effective MIND-small setup
+(batch 128 = the README's "32*4", history 50, title 20, 300-d words, 400-d
+news vectors, dropout on) — README.md:68-80; the reference publishes no
+throughput numbers (SURVEY.md §6), so vs_baseline for the headline tracks
+this framework's own round-1 straight-XLA anchor (83.0 ms/step = 1,542
+examples/s, f32) and the other lines report vs their own round-2 first
+measurements.
 
 Measurement protocol: the axon TPU runtime memoizes executions whose
 arguments are bitwise-identical (and `block_until_ready` does not reliably
 force remote completion), so the loop rotates 8 distinct pre-staged batches
-through donated state and forces completion with a scalar fetch of the final
-loss. See tools/microbench.py.
-
-The reference publishes no throughput numbers (SURVEY.md §6); the baseline
-constant below is this framework's own first round-1 TPU v5e measurement
-(pre-optimization jnp path), so vs_baseline tracks speedups across rounds
-from a fixed anchor.
+through donated state and forces completion with a scalar fetch of the
+final loss. See tools/microbench.py.
 """
 
 import json
@@ -23,9 +28,19 @@ import time
 
 import numpy as np
 
-# Round-1 anchor: first trustworthy measurement on TPU v5 lite (examples/s),
-# f32, straight XLA lowering of the reference math (83 ms/step @ batch 128).
+# Round-1 anchor for the headline metric: first trustworthy measurement on
+# TPU v5 lite (examples/s), f32, straight XLA lowering of the reference math
+# (83 ms/step @ batch 128).
 BASELINE_EPS = 1542.0
+# Anchors for the secondary lines (round-2 first measurements; 1.0 = parity
+# with the first time the metric was recorded).
+BASELINE_NAML_EPS = 8807.0   # round-1 PERF.md f32 measurement
+BASELINE_TRAINABLE_EPS = 2636.0  # round-1 f32 rbg row (trainable table)
+BASELINE_QPS = None  # established this round
+
+# TPU v5 lite peak: ~197 TFLOP/s bf16, ~98.5 TFLOP/s f32 (for the MFU-style
+# "model TFLOP/s" context line; the estimate is analytic-FLOPs / time).
+PEAK_TFLOPS = {"bfloat16": 197.0, "float32": 98.5}
 
 
 def _setup_compilation_cache():
@@ -42,11 +57,113 @@ def _setup_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def nrms_forward_flops(cfg, vocab_unused=None) -> float:
+    """Analytic matmul FLOPs of ONE forward pass at batch cfg.batch_size.
+
+    Counts the dominant dense work (2*m*n*k per matmul): QKV projections,
+    per-head attention scores+context, pooling projections, user encoder,
+    scoring bmm. Elementwise/softmax work is excluded (matmul-dominated).
+    """
+    b, k, l, t = cfg.batch_size, cfg.npratio, cfg.user_log_length, cfg.num_words_title
+    wd, nd, h = cfg.word_embedding_dim, cfg.news_dim, cfg.num_attention_heads
+    d = nd // h
+    q = cfg.news_query_vector_dim
+    rows = b * (1 + k + l)          # news rows encoded per step
+    f = 0.0
+    f += 2.0 * rows * t * wd * (3 * nd)        # fused QKV projection
+    f += rows * h * (2.0 * t * t * d) * 2      # scores + context
+    f += 2.0 * rows * t * nd * q + 2.0 * rows * t * q   # pooling fc1+fc2
+    f += 2.0 * rows * nd                       # pooling weighted sum
+    # user encoder: MHSA over L history vectors + pooling
+    f += 2.0 * b * l * nd * (3 * nd)
+    f += b * h * (2.0 * l * l * d) * 2
+    f += 2.0 * b * l * nd * cfg.user_query_vector_dim
+    f += 2.0 * b * (1 + k) * nd                # scoring bmm
+    return f
+
+
+def naml_forward_flops(cfg) -> float:
+    b, k, l, t = cfg.batch_size, cfg.npratio, cfg.user_log_length, cfg.num_words_title
+    wd, nd = cfg.word_embedding_dim, cfg.news_dim
+    rows = b * (1 + k + l)
+    f = 0.0
+    f += 2.0 * rows * t * (3 * wd) * nd        # conv1d k=3 as matmul
+    f += 2.0 * rows * t * nd * cfg.news_query_vector_dim
+    f += 2.0 * b * l * nd * cfg.user_query_vector_dim
+    f += 2.0 * b * (1 + k) * nd
+    return f
+
+
+def _emit(metric, value, unit, baseline, detail=None):
+    line = {"metric": metric, "value": round(value, 1), "unit": unit,
+            "vs_baseline": (round(value / baseline, 3) if baseline else 1.0)}
+    if detail:
+        line["detail"] = detail
+    print(json.dumps(line), flush=True)
+
+
+def bench_train(cfg, label, baseline, fwd_flops_fn, iters=150):
+    """Time the jitted train step at cfg; returns examples/s."""
+    import jax
+
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.train import create_train_state
+    from newsrecommendation_tpu.train.step import make_train_step
+
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    vocab = 30000  # ~MIND-small word vocab scale
+    table = rng.normal(0, 0.06, size=(vocab, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0.0
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    state = create_train_state(cfg, params)
+    train_step = make_train_step(cfg, model)
+
+    f = cfg.news_feature_width
+    b = cfg.batch_size
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "history": jax.numpy.asarray(r.integers(
+                0, vocab, size=(b, cfg.user_log_length, f)), jax.numpy.int32),
+            "history_mask": jax.numpy.asarray(
+                (r.random((b, cfg.user_log_length)) > 0.3).astype(np.float32)),
+            "candidate": jax.numpy.asarray(r.integers(
+                0, vocab, size=(b, 1 + cfg.npratio, f)), jax.numpy.int32),
+            "label": jax.numpy.asarray(r.integers(
+                0, cfg.npratio + 1, size=(b,)), jax.numpy.int32),
+            "weight": jax.numpy.ones((b,), jax.numpy.float32),
+        }
+
+    batches = [make_batch(s) for s in range(8)]
+    base_rng = jax.random.PRNGKey(0)
+
+    for i in range(5):  # warmup/compile; forced complete via scalar fetch
+        state, metrics = train_step(state, batches[i % 8], base_rng)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = train_step(state, batches[i % 8], base_rng)
+    float(metrics["loss"])  # forces completion of the whole chain
+    dt = time.perf_counter() - t0
+
+    eps = iters * b / dt
+    ms = 1e3 * dt / iters
+    # training step ~= fwd + backward (~2x fwd) = 3x forward matmul FLOPs
+    tflops = 3.0 * fwd_flops_fn(cfg) / (dt / iters) / 1e12
+    peak = PEAK_TFLOPS.get(cfg.compute_dtype, 197.0)
+    _emit(label, eps, "examples/s", baseline,
+          detail=f"{ms:.1f} ms/step; ~{tflops:.1f} model TFLOP/s analytic "
+                 f"(~{100 * tflops / peak:.0f}% of {peak:.0f} TF {cfg.compute_dtype} peak)")
+    return eps
+
+
 def bench_scoring_qps():
-    """Secondary benchmark (--qps): impression-scoring throughput against a
-    cached news-vector corpus — the serving path (BASELINE.json config 5).
-    Prints its own JSON line."""
-    _setup_compilation_cache()
+    """Impression-scoring throughput against a cached news-vector corpus —
+    the serving path (BASELINE.json config 5; replaces the reference's
+    per-impression CPU numpy loop, main.py:185-253)."""
     import jax
     import jax.numpy as jnp
 
@@ -92,31 +209,28 @@ def bench_scoring_qps():
     float(acc)
     dt = time.perf_counter() - t0
     qps = iters * B / dt
-    print(json.dumps({
-        "metric": "impression_scoring_qps",
-        "value": round(qps, 1),
-        "unit": "impressions/s",
-        "vs_baseline": 1.0,
-        "detail": f"{C} candidates per impression, history {L}",
-    }))
+    _emit("impression_scoring_qps", qps, "impressions/s", BASELINE_QPS,
+          detail=f"{C} candidates per impression, history {L}, "
+                 f"{num_news}-doc cache")
+    return qps
 
 
-def main():
+def main(argv=None):
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
     _setup_compilation_cache()
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
 
     from newsrecommendation_tpu.config import Config
-    from newsrecommendation_tpu.models import get_model
-    from newsrecommendation_tpu.train import create_train_state
-    from newsrecommendation_tpu.train.step import make_train_step
 
     # The reference's canonical training config (demo.sh:14-23 trains with
     # freeze_embedding=True) at the TPU-native dtype: bf16 activations,
     # f32 params/accumulation. BASELINE_EPS stays the f32 straight-lowering
     # anchor, so vs_baseline reports the full TPU-native speedup.
-    cfg = Config(
+    headline_cfg = Config(
         model="NRMS", title_source="word_ids", num_words_title=20,
         user_log_length=50, word_embedding_dim=300, news_dim=400,
         news_query_vector_dim=200, user_query_vector_dim=200,
@@ -124,60 +238,27 @@ def main():
         lr=3e-4, deterministic=False, freeze_embedding=True,
         compute_dtype="bfloat16",
     )
-    model = get_model(cfg.model)
-    rng = np.random.default_rng(0)
-    vocab = 30000  # ~MIND-small word vocab scale
-    table = rng.normal(0, 0.06, size=(vocab, cfg.word_embedding_dim)).astype(np.float32)
-    table[0] = 0.0
-    params = model.init(jax.random.PRNGKey(0), cfg, table)
-    state = create_train_state(cfg, params)
-    train_step = make_train_step(cfg, model)
 
-    f = cfg.news_feature_width
-    b = cfg.batch_size
+    if "--qps" in argv:
+        bench_scoring_qps()
+        return
+    if "--headline-only" in argv:
+        bench_train(headline_cfg, "nrms_train_examples_per_sec_per_chip",
+                    BASELINE_EPS, nrms_forward_flops)
+        return
 
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        return {
-            "history": jax.numpy.asarray(r.integers(
-                0, vocab, size=(b, cfg.user_log_length, f)), jax.numpy.int32),
-            "history_mask": jax.numpy.asarray(
-                (r.random((b, cfg.user_log_length)) > 0.3).astype(np.float32)),
-            "candidate": jax.numpy.asarray(r.integers(
-                0, vocab, size=(b, 1 + cfg.npratio, f)), jax.numpy.int32),
-            "label": jax.numpy.asarray(r.integers(
-                0, cfg.npratio + 1, size=(b,)), jax.numpy.int32),
-            "weight": jax.numpy.ones((b,), jax.numpy.float32),
-        }
-
-    batches = [make_batch(s) for s in range(8)]
-    base_rng = jax.random.PRNGKey(0)
-
-    # warmup (compile) — forced complete via scalar fetch
-    for i in range(5):
-        state, metrics = train_step(state, batches[i % 8], base_rng)
-    float(metrics["loss"])
-
-    iters = 150
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = train_step(state, batches[i % 8], base_rng)
-    float(metrics["loss"])  # forces completion of the whole chain
-    dt = time.perf_counter() - t0
-
-    eps = iters * b / dt
-    print(json.dumps({
-        "metric": "nrms_train_examples_per_sec_per_chip",
-        "value": round(eps, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(eps / BASELINE_EPS, 3),
-    }))
+    # secondary metrics first; the driver reads the LAST line as headline
+    bench_train(headline_cfg.replace(model="NAML", use_category=True,
+                                     use_subcategory=True),
+                "naml_train_examples_per_sec_per_chip",
+                BASELINE_NAML_EPS, naml_forward_flops)
+    bench_train(headline_cfg.replace(freeze_embedding=False),
+                "nrms_trainable_table_examples_per_sec_per_chip",
+                BASELINE_TRAINABLE_EPS, nrms_forward_flops)
+    bench_scoring_qps()
+    bench_train(headline_cfg, "nrms_train_examples_per_sec_per_chip",
+                BASELINE_EPS, nrms_forward_flops)
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--qps" in sys.argv:
-        bench_scoring_qps()
-    else:
-        main()
+    main()

@@ -34,16 +34,22 @@ def pallas_interpret() -> bool:
     return _MODE == "interpret"
 
 
-# The fused encoder-tail kernel (MHSA+dropout+pool in one kernel) is gated
-# separately from the attention kernels. Its Mosaic compile cost scales
-# badly with the per-head unroll: measured on TPU v5e at the bench config
-# (20 heads x d=20, bf16), the attention-only kernel compiles in ~140s but
-# one fused-tail forward instance costs ~950s (dropout variant; most of it
-# in lowering) and the masked variant longer still — the full train step
-# embeds four such kernels. "auto" therefore enables the tail fusion only
-# at small head counts where the unroll stays cheap; "on"/"off" force it.
+# The fused encoder-tail kernel (MHSA+dropout+pool in one kernel,
+# ops/pallas/fused_encoder.py) is a documented EXPERIMENT, not a production
+# path. Its Mosaic compile cost scales badly with the per-head unroll:
+# measured on TPU v5e at the bench config (20 heads x d=20, bf16), the
+# attention-only kernel compiles in ~140s but ONE fused-tail forward
+# instance costs ~950s (dropout variant; most of it in lowering), the
+# masked variant longer still, and the full train step embeds four such
+# kernels (~1h of cold compile) — for an estimated ceiling of ~1-2 ms/step
+# of saved context-tensor HBM traffic out of ~30 ms (see docs/PERF.md).
+# Production NRMS runs 20 heads, and NAML's encoder tail has no MHSA, so a
+# head-count auto-gate would only ever fire on toy test configs (where it
+# once routed an unaligned block shape into a Mosaic compile error).
+# "auto" therefore means OFF when compiled and ON only under interpret
+# mode, which keeps the kernel exercised by tests at zero compile cost;
+# "on" forces the experiment on hardware.
 _FUSED_TAIL = "auto"  # "auto" | "on" | "off"
-_FUSED_TAIL_AUTO_MAX_HEADS = 8
 
 
 def set_fused_tail(mode) -> None:
@@ -63,10 +69,9 @@ def fused_tail_enabled(n_heads: int | None = None) -> bool:
         return True
     if _FUSED_TAIL == "off":
         return False
-    # interpret mode (tests) has no Mosaic compile cost — always fuse
-    if _MODE == "interpret":
-        return True
-    return n_heads is not None and n_heads <= _FUSED_TAIL_AUTO_MAX_HEADS
+    # auto: interpret mode (tests) has no Mosaic compile cost — fuse;
+    # compiled backends never auto-fuse (see the rationale above)
+    return _MODE == "interpret"
 
 
 # In-kernel attention formulation for the fused-QKV kernels. "headloop"

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from newsrecommendation_tpu.ops.pallas.config import pallas_interpret
+from newsrecommendation_tpu.ops.pallas.fused_attention import _block_rows
 
 _EPS = 1e-8
 
@@ -241,13 +242,6 @@ def _bwd_kernel(seed_ref, qkv_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
     db1_ref[...] += db1.astype(db1_ref.dtype)
     dw2_ref[...] += dw2.astype(dw2_ref.dtype)
     db2_ref[...] += db2.astype(db2_ref.dtype)
-
-
-def _block_rows(n: int, target: int) -> int:
-    b = min(n, target)
-    while n % b:
-        b -= 1
-    return b
 
 
 def _param_specs(hd, q):
