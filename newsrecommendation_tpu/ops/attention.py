@@ -194,6 +194,21 @@ def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
     if nq % n_heads == 0:
         from newsrecommendation_tpu.ops.pallas import pallas_enabled
         if pallas_enabled():
+            from newsrecommendation_tpu.ops.pallas.config import flash_min_seq
+            if nq == nk == nv and s >= flash_min_seq():
+                # long sequences: key-axis blockwise flash kernel — the
+                # full-T kernels' (bn, T, T) score blocks outgrow VMEM
+                from newsrecommendation_tpu.ops.pallas.blockwise import (
+                    flash_exp_mhsa,
+                    flash_exp_mhsa_masked,
+                )
+                qf, kf, vf = (qkv[..., :nq], qkv[..., nq:nq + nk],
+                              qkv[..., nq + nk:])
+                if mask is None:
+                    return flash_exp_mhsa(qf, kf, vf, n_heads)
+                return flash_exp_mhsa_masked(qf, kf, vf,
+                                             mask.astype(jnp.float32),
+                                             n_heads)
             if nq == nk == nv:
                 # feed the FUSED projection straight to the kernel: no HBM
                 # q/k/v splits forward, no dq/dk/dv concat backward (those

@@ -91,3 +91,24 @@ def set_attention_layout(layout: str) -> None:
 
 def attention_layout() -> str:
     return _ATTN_LAYOUT
+
+
+# Sequence length at which MHSA dispatch switches from the full-T kernels
+# (one (bn, T, T) score block per head in VMEM) to the key-axis blockwise
+# flash kernel (ops/pallas/blockwise.py). Below this the full-T kernels win
+# (single grid pass, no online-rescaling traffic); above it the quadratic
+# score block approaches the VMEM budget. 512 keys x 512 queries x f32 =
+# 1 MiB per head-block at block_rows rows — comfortably the crossover
+# region for the 100 MiB VMEM limit used by the kernels.
+_FLASH_MIN_SEQ = 512
+
+
+def flash_min_seq() -> int:
+    return _FLASH_MIN_SEQ
+
+
+def set_flash_min_seq(t: int) -> None:
+    global _FLASH_MIN_SEQ
+    if t < 1:
+        raise ValueError(f"flash_min_seq must be >= 1, got {t}")
+    _FLASH_MIN_SEQ = t

@@ -716,3 +716,34 @@ class TestBlockwiseFlash:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
                 err_msg=f"d{name} mismatch")
+
+
+class TestFlashDispatch:
+    """multi_head_self_attention auto-routes long sequences to the
+    blockwise flash kernel and matches the jnp reference."""
+
+    def test_long_seq_routes_to_flash_and_matches(self):
+        from newsrecommendation_tpu.ops.pallas.config import (
+            flash_min_seq,
+            set_flash_min_seq,
+        )
+        from newsrecommendation_tpu.ops import attention as A2
+        from newsrecommendation_tpu.utils import init as pinit
+
+        r = np.random.default_rng(5)
+        n, t, heads, d = 8, 16, 4, 8
+        params = A2.init_multi_head_self_attention(
+            jax.random.PRNGKey(0), heads * d, heads, d)
+        x = jnp.asarray(r.normal(size=(n, t, heads * d)).astype(np.float32))
+        mask = jnp.asarray((r.random((n, t)) > 0.3).astype(np.float32))
+
+        want = A2.multi_head_self_attention(params, x, mask, n_heads=heads)
+        old = flash_min_seq()
+        try:
+            set_flash_min_seq(t)  # force the flash route at this length
+            got = A2.multi_head_self_attention(params, x, mask,
+                                               n_heads=heads)
+        finally:
+            set_flash_min_seq(old)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)

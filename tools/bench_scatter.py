@@ -88,28 +88,31 @@ def main():
         lookup_oh.defvjp(_oh_fwd, _oh_bwd)
         return lookup_oh
 
+    # onehot variants dropped: one_hot(ids, V) at N=140800, V=30000 is a
+    # 4.2e9-element intermediate (~17 GB f32) — infeasible at this shape.
     variants = {
         "take": take,
         "sorted": lookup_sorted,
         "segsum": lookup_segsum,
-        "onehot": make_onehot(jnp.float32),
-        "onehot_bf16": make_onehot(jnp.bfloat16),
     }
 
+    # pre-staged id rotations (device arrays): eager per-iteration id math
+    # would compile a new tiny executable per distinct python constant
+    host_ids = np.asarray(ids0)
+    ids_list = [jnp.asarray((host_ids + i) % V) for i in range(8)]
     for name, fn in variants.items():
         gfn = grad_of(fn)
         # chain: feed the grad back as the next table (same shape) to defeat
-        # memoization; rotate ids by +1 each call
+        # memoization; rotate pre-staged ids per call
         t = table
-        ids = ids0
-        out = gfn(t, ids); jax.block_until_ready(out)
+        t = gfn(t, ids_list[0]); jax.block_until_ready(t)
         n = 30
         t0 = time.perf_counter()
         for i in range(n):
-            t = gfn(t, (ids + i) % V)
+            t = gfn(t, ids_list[i % 8])
         jax.block_until_ready(t)
         dt = (time.perf_counter() - t0) / n
-        print(f"{name:12s}: {dt*1e3:7.3f} ms/grad")
+        print(f"{name:12s}: {dt*1e3:7.3f} ms/grad", flush=True)
 
 if __name__ == "__main__":
     main()
