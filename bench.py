@@ -171,6 +171,10 @@ def bench_scoring_qps():
     from newsrecommendation_tpu.models import get_model
     from newsrecommendation_tpu.ops.scoring import score_cached_impressions
 
+    from newsrecommendation_tpu.ops.scoring import (
+        score_cached_impressions_dense,
+    )
+
     cfg = Config(model="NRMS", user_log_mask=True, deterministic=True)
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)
@@ -182,11 +186,13 @@ def bench_scoring_qps():
     cache = jnp.asarray(
         rng.normal(size=(num_news, cfg.news_dim)).astype(np.float32))
 
-    @jax.jit
-    def score(params, cache, hist, mask, cand):
-        hist_vecs = jnp.take(cache, hist, axis=0)
-        user = model.user_encoder(params, cfg, hist_vecs, mask)
-        return score_cached_impressions(cache, cand, user)
+    def make_score(scorer):
+        @jax.jit
+        def score(params, cache, hist, mask, cand):
+            hist_vecs = jnp.take(cache, hist, axis=0)
+            user = model.user_encoder(params, cfg, hist_vecs, mask)
+            return scorer(cache, cand, user)
+        return score
 
     def mkreq(seed):
         r = np.random.default_rng(seed)
@@ -197,21 +203,30 @@ def bench_scoring_qps():
         )
 
     reqs = [mkreq(s) for s in range(8)]
-    acc = jnp.zeros(())
-    for i in range(4):
-        acc = acc + jnp.sum(score(params, cache, *reqs[i]))
-    float(acc)
-    iters = 100
-    acc = jnp.zeros(())
-    t0 = time.perf_counter()
-    for i in range(iters):
-        acc = acc + jnp.sum(score(params, cache, *reqs[i % 8]))
-    float(acc)
-    dt = time.perf_counter() - t0
-    qps = iters * B / dt
+
+    def timed(score):
+        acc = jnp.zeros(())
+        for i in range(4):
+            acc = acc + jnp.sum(score(params, cache, *reqs[i]))
+        float(acc)
+        iters = 100
+        acc = jnp.zeros(())
+        t0 = time.perf_counter()
+        for i in range(iters):
+            acc = acc + jnp.sum(score(params, cache, *reqs[i % 8]))
+        float(acc)
+        return iters * B / (time.perf_counter() - t0)
+
+    # A/B the two cached-scoring formulations: random row gather (B·C·D HBM
+    # reads) vs dense corpus matmul + scalar gather (MXU streaming)
+    qps_gather = timed(make_score(score_cached_impressions))
+    qps_dense = timed(make_score(score_cached_impressions_dense))
+    qps = max(qps_gather, qps_dense)
+    winner = "dense" if qps_dense >= qps_gather else "gather"
     _emit("impression_scoring_qps", qps, "impressions/s", BASELINE_QPS,
           detail=f"{C} candidates per impression, history {L}, "
-                 f"{num_news}-doc cache")
+                 f"{num_news}-doc cache; {winner} formulation wins "
+                 f"(gather {qps_gather:.0f} vs dense {qps_dense:.0f})")
     return qps
 
 

@@ -188,3 +188,22 @@ class TestInitDistributions:
         from newsrecommendation_tpu.utils import init as pinit
         t = pinit.embedding(jax.random.PRNGKey(0), 10, 4)
         np.testing.assert_array_equal(np.asarray(t[0]), np.zeros(4))
+
+
+class TestDenseCachedScoring:
+    def test_matches_gather_formulation(self):
+        import numpy as np
+        from newsrecommendation_tpu.ops.scoring import (
+            score_cached_impressions,
+            score_cached_impressions_dense,
+        )
+
+        r = np.random.default_rng(3)
+        N, D, B, C = 50, 16, 6, 9
+        cache = jnp.asarray(r.normal(size=(N, D)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, N, size=(B, C)).astype(np.int32))
+        users = jnp.asarray(r.normal(size=(B, D)).astype(np.float32))
+        a = score_cached_impressions(cache, idx, users)
+        b = score_cached_impressions_dense(cache, idx, users)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
