@@ -30,6 +30,10 @@ elif [ "${mode}" == embeddings ]; then
   # backend=bpemb matches the fork, backend=hash needs no downloads
   python -m newsrecommendation_tpu.cli --mode create_embeddings \
     --train_data_dir ${train_data_dir} --test_data_dir ${test_data_dir}
+elif [ "${mode}" == parity ]; then
+  # one-command accuracy-parity run against the reference's published rows
+  # (README.md:68-80); add --dry_run for the offline synthetic validation
+  python tools/parity_run.py --data_root data "${@:2}"
 elif [ "${mode}" == nrms ]; then
   # reference README NRMS row: title-only word-id pipeline, 4 epochs
   python -m newsrecommendation_tpu.cli --mode train_test --model NRMS \
@@ -37,5 +41,5 @@ elif [ "${mode}" == nrms ]; then
     --model_dir model/NRMS --train_data_dir ${train_data_dir} \
     --test_data_dir ${test_data_dir}
 else
-  echo "usage: demo.sh {train|test <ckpt>|embeddings|nrms}"
+  echo "usage: demo.sh {train|test <ckpt>|embeddings|nrms|parity}"
 fi
