@@ -23,20 +23,35 @@ import numpy as np
 from newsrecommendation_tpu.data.loader import pad_to_fix_len, trans_to_nindex
 from newsrecommendation_tpu.eval.pipeline import compute_news_scoring
 from newsrecommendation_tpu.models import get_model
-from newsrecommendation_tpu.ops.scoring import score_cached_impressions
+from newsrecommendation_tpu.ops.scoring import (
+    score_cached_impressions,
+    score_cached_impressions_dense,
+)
 
 
 class Recommender:
-    """Whole-corpus news-vector cache + jitted impression scorer."""
+    """Whole-corpus news-vector cache + jitted impression scorer.
+
+    scorer: "gather" (random candidate-row gather; best for small request
+    batches) or "dense" (whole-corpus matmul + scalar gather; best for
+    large batches — see ops/scoring.py docstrings and the bench.py QPS A/B).
+    """
 
     def __init__(self, model, params, cfg, news_index: Dict[str, int],
-                 news_scoring):
+                 news_scoring, scorer: str = "gather"):
         self.model = model
         self.params = params
         self.cfg = cfg
         self.news_index = news_index
         self.news_scoring = jnp.asarray(news_scoring)
+        if scorer not in ("gather", "dense"):
+            raise ValueError(f"unknown scorer {scorer!r}")
+        self._scorer = (score_cached_impressions if scorer == "gather"
+                        else score_cached_impressions_dense)
         self._score_jit = jax.jit(self._score_impl)
+        self._topk_jit = jax.jit(self._topk_impl, static_argnums=(3,))
+        # idx -> doc_id for corpus-wide recommendation output
+        self._inv_index = {v: k for k, v in news_index.items()}
 
     # ---- construction ----------------------------------------------------
 
@@ -83,7 +98,17 @@ class Recommender:
         hist_vecs = jnp.take(news_scoring, hist_idx, axis=0)
         user_vecs = self.model.user_encoder(params, self.cfg, hist_vecs,
                                             hist_mask)
-        return score_cached_impressions(news_scoring, cand_idx, user_vecs)
+        return self._scorer(news_scoring, cand_idx, user_vecs)
+
+    def _topk_impl(self, params, hist_idx, hist_mask, k):
+        """Corpus-wide candidate generation: top-k news per user in one
+        dense matmul + lax.top_k (row 0 = unknown-news excluded)."""
+        hist_vecs = jnp.take(self.news_scoring, hist_idx, axis=0)
+        user_vecs = self.model.user_encoder(params, self.cfg, hist_vecs,
+                                            hist_mask)
+        scores = jnp.einsum("bd,nd->bn", user_vecs, self.news_scoring)
+        scores = scores.at[:, 0].set(-jnp.inf)
+        return jax.lax.top_k(scores, k)
 
     def _encode_requests(self, histories: Sequence[Sequence[str]],
                          candidates: Sequence[Sequence[str]],
@@ -125,3 +150,16 @@ class Recommender:
         s = self.score(history, candidates)
         order = np.argsort(-s, kind="stable")
         return [list(candidates)[i] for i in order]
+
+    def recommend(self, history: Sequence[str], k: int = 10) -> List[str]:
+        """Top-k doc ids over the WHOLE corpus for one user — candidate
+        generation, a capability the reference's candidate-list-only eval
+        loop (main.py:249-263) never had."""
+        L = self.cfg.user_log_length
+        row, m = pad_to_fix_len(trans_to_nindex(list(history),
+                                                self.news_index), L)
+        _, idx = self._topk_jit(
+            self.params, jnp.asarray([row], jnp.int32),
+            jnp.asarray(m[None, :]), k)
+        return [self._inv_index[int(i)] for i in np.asarray(idx[0])
+                if int(i) in self._inv_index]

@@ -87,3 +87,30 @@ def test_preference_signal(trained):
     s_same = rec.score(hist, same).mean()
     s_other = rec.score(hist, other).mean()
     assert s_same > s_other
+
+
+def test_dense_scorer_matches_gather(trained):
+    cfg, ckpt, data_dir = trained
+    rec_g = Recommender.from_checkpoint(ckpt, cfg, data_dir)
+    rec_d = Recommender(rec_g.model, rec_g.params, cfg, rec_g.news_index,
+                        rec_g.news_scoring, scorer="dense")
+    history = ["N1", "N5", "N9"]
+    candidates = ["N10", "N20", "N30", "N40", "N50"]
+    np.testing.assert_allclose(rec_g.score(history, candidates),
+                               rec_d.score(history, candidates),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_recommend_topk_over_corpus(trained):
+    cfg, ckpt, data_dir = trained
+    rec = Recommender.from_checkpoint(ckpt, cfg, data_dir)
+    history = ["N1", "N2", "N3"]
+    top = rec.recommend(history, k=5)
+    assert len(top) == 5
+    assert len(set(top)) == 5
+    assert all(t in rec.news_index for t in top)
+    # top-1 over the corpus must score >= any sampled candidate's score
+    sample = ["N%d" % i for i in range(1, 60, 7)]
+    best_sampled = float(np.max(rec.score(history, sample)))
+    top_score = float(rec.score(history, [top[0]])[0])
+    assert top_score >= best_sampled - 1e-5
