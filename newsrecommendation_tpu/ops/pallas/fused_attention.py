@@ -294,9 +294,30 @@ def _block_rows(n: int, target: int) -> int:
     return n
 
 
+# Per-block VMEM working-set budget. The kernels run with a 100 MiB
+# vmem_limit; half of it leaves room for Mosaic's double buffering and
+# per-head stack temporaries (an f32[512,50,400] ctx stack allocation once
+# blew the limit at the eval shape — block rows must shrink as T and the
+# dtype grow, not stay pinned at the target).
+_VMEM_BLOCK_BUDGET = 48 * 1024 * 1024
+
+
+def _capped_block_rows(n: int, target: int, t: int, w_in: int, w_out: int,
+                       itemsize: int) -> int:
+    """block_rows capped so the block's VMEM working set fits the budget.
+
+    Per-row estimate: the input/output blocks at their dtype plus the f32
+    intermediates the per-head loop materializes (scores (t, t) and the
+    f32 context/grad accumulators, ~2x the output width).
+    """
+    row_bytes = t * (w_in + w_out) * itemsize + 4 * t * (t + 2 * w_out)
+    cap = max(_VMEM_BLOCK_BUDGET // max(row_bytes, 1), 8)
+    return _block_rows(n, min(target, cap))
+
+
 def _fwd_call(q, k, v, n_heads, d_head, block_rows):
     n, t, hd = q.shape
-    bn = _block_rows(n, block_rows)
+    bn = _capped_block_rows(n, block_rows, t, 3 * hd, hd, q.dtype.itemsize)
     grid = (n // bn,)
     spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -322,7 +343,8 @@ def _bwd_call(q, k, v, g, n_heads, d_head, block_rows):
     n, t, hd = q.shape
     # half-size blocks: backward holds 7 buffers in VMEM vs forward's 4,
     # and full-size blocks blow up Mosaic compile time
-    bn = _block_rows(n, max(block_rows // 2, 1))
+    bn = _capped_block_rows(n, max(block_rows // 2, 1), t, 7 * hd, hd,
+                            q.dtype.itemsize)
     grid = (n // bn,)
     spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -347,7 +369,7 @@ def _bwd_call(q, k, v, g, n_heads, d_head, block_rows):
 
 def _masked_fwd_call(q, k, v, mask, n_heads, d_head, block_rows):
     n, t, hd = q.shape
-    bn = _block_rows(n, block_rows)
+    bn = _capped_block_rows(n, block_rows, t, 3 * hd, hd, q.dtype.itemsize)
     grid = (n // bn,)
     spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -372,7 +394,8 @@ def _masked_fwd_call(q, k, v, mask, n_heads, d_head, block_rows):
 
 def _masked_bwd_call(q, k, v, mask, g, n_heads, d_head, block_rows):
     n, t, hd = q.shape
-    bn = _block_rows(n, max(block_rows // 2, 1))
+    bn = _capped_block_rows(n, max(block_rows // 2, 1), t, 7 * hd, hd,
+                            q.dtype.itemsize)
     grid = (n // bn,)
     spec = pl.BlockSpec((bn, t, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -426,7 +449,7 @@ def _qkv_specs(n, t, w3, w1, bn):
 def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows):
     n, t, w3 = qkv.shape
     w1 = w3 // 3
-    bn = _block_rows(n, block_rows)
+    bn = _capped_block_rows(n, block_rows, t, w3, w1, qkv.dtype.itemsize)
     qkv_spec, o_spec, m_spec = _qkv_specs(n, t, w3, w1, bn)
     kernel = (functools.partial(_qkv_fwd_unmasked, n_heads=n_heads,
                                 d_head=d_head) if mask is None else
@@ -453,7 +476,8 @@ def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows):
 def _qkv_bwd_call(qkv, mask, g, n_heads, d_head, block_rows):
     n, t, w3 = qkv.shape
     w1 = w3 // 3
-    bn = _block_rows(n, max(block_rows // 2, 1))
+    bn = _capped_block_rows(n, max(block_rows // 2, 1), t, 2 * w3 + w1, w1,
+                            qkv.dtype.itemsize)
     qkv_spec, o_spec, m_spec = _qkv_specs(n, t, w3, w1, bn)
     kernel = (functools.partial(_qkv_bwd_unmasked, n_heads=n_heads,
                                 d_head=d_head) if mask is None else
