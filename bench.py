@@ -241,6 +241,21 @@ def main(argv=None):
 
     from newsrecommendation_tpu.config import Config
 
+    # Compile-time budget: axon-service TPU compiles are NOT reliably cached
+    # across processes (measured: identical NAML step recompiled ~10 min in
+    # a fresh process), so a full 4-config suite can cost ~45 min of
+    # compiles. Secondary benches run only while there is budget left for
+    # them plus the headline; skips are logged, never silent. Override with
+    # NEWSREC_BENCH_BUDGET (seconds).
+    budget = float(os.environ.get("NEWSREC_BENCH_BUDGET", 2400))
+    t_start = time.perf_counter()
+    # rough per-config cost estimates (compile-dominated, fresh process)
+    EST_TRAIN, EST_QPS, EST_HEADLINE = 900.0, 1100.0, 700.0
+
+    def have_time_for(est):
+        spent = time.perf_counter() - t_start
+        return spent + est + EST_HEADLINE <= budget
+
     # The reference's canonical training config (demo.sh:14-23 trains with
     # freeze_embedding=True) at the TPU-native dtype: bf16 activations,
     # f32 params/accumulation. BASELINE_EPS stays the f32 straight-lowering
@@ -263,14 +278,25 @@ def main(argv=None):
         return
 
     # secondary metrics first; the driver reads the LAST line as headline
-    bench_train(headline_cfg.replace(model="NAML", use_category=True,
-                                     use_subcategory=True),
-                "naml_train_examples_per_sec_per_chip",
-                BASELINE_NAML_EPS, naml_forward_flops)
-    bench_train(headline_cfg.replace(freeze_embedding=False),
-                "nrms_trainable_table_examples_per_sec_per_chip",
-                BASELINE_TRAINABLE_EPS, nrms_forward_flops)
-    bench_scoring_qps()
+    secondary = [
+        (EST_TRAIN, "naml", lambda: bench_train(
+            headline_cfg.replace(model="NAML", use_category=True,
+                                 use_subcategory=True),
+            "naml_train_examples_per_sec_per_chip",
+            BASELINE_NAML_EPS, naml_forward_flops)),
+        (EST_TRAIN, "nrms_trainable", lambda: bench_train(
+            headline_cfg.replace(freeze_embedding=False),
+            "nrms_trainable_table_examples_per_sec_per_chip",
+            BASELINE_TRAINABLE_EPS, nrms_forward_flops)),
+        (EST_QPS, "qps", bench_scoring_qps),
+    ]
+    for est, name, fn in secondary:
+        if have_time_for(est):
+            fn()
+        else:
+            print(f"# skipping {name} bench: {budget:.0f}s budget would not "
+                  f"cover it plus the headline (see docs/PERF.md for its "
+                  f"last recorded value)", file=sys.stderr, flush=True)
     bench_train(headline_cfg, "nrms_train_examples_per_sec_per_chip",
                 BASELINE_EPS, nrms_forward_flops)
 
