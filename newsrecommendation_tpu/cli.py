@@ -293,6 +293,10 @@ def main(argv=None):
         create_news_embeddings(cfg.test_data_dir, cfg.num_words_title,
                                cfg.word_embedding_dim,
                                backend=cfg.embedding_backend)
+    if cfg.mode == "serve":
+        # production serving: Recommender + micro-batching HTTP API
+        from newsrecommendation_tpu.server import run_server
+        run_server(cfg)
     if cfg.mode == "read_embeddings":
         table = read_news_embeddings(cfg.train_data_dir,
                                      backend=cfg.embedding_backend)

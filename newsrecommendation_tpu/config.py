@@ -59,7 +59,7 @@ class Config:
     filter_num: int = 3  # min word count for the word vocab (ref parameters.py:35)
 
     # ---- paths / modes (reference parameters.py:15-31,56) ------------------
-    mode: str = "train"  # train | test | train_test | create_embeddings | read_embeddings
+    mode: str = "train"  # train | test | train_test | create_embeddings | read_embeddings | serve
     prepare: bool = True
     train_data_dir: str = "data/MINDsmall_train"
     test_data_dir: str = "data/MINDsmall_dev"
@@ -91,6 +91,11 @@ class Config:
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
     fused_tail: str = "auto"  # "auto" | "on" | "off" — fused MHSA+pool kernel
     attention_layout: str = "headloop"  # "headloop" | "blanes" in-kernel layout
+    # ---- serving (--mode serve; server.py) ---------------------------------
+    serve_host: str = "127.0.0.1"
+    serve_port: int = 8000
+    serve_max_batch: int = 64      # micro-batching coalescing cap
+    serve_max_delay_ms: float = 2.0  # max wait to fill a device batch
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
     profile_dir: Optional[str] = None  # jax.profiler trace output dir

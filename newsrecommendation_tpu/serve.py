@@ -155,11 +155,27 @@ class Recommender:
         """Top-k doc ids over the WHOLE corpus for one user — candidate
         generation, a capability the reference's candidate-list-only eval
         loop (main.py:249-263) never had."""
+        ids, _ = self.recommend_batch([history], k)
+        return ids[0]
+
+    def recommend_batch(self, histories: Sequence[Sequence[str]],
+                        k: int = 10):
+        """Batched corpus-wide top-k: (List[List[doc_id]], (B, k) scores).
+
+        One dense (B, D) x (D, N) matmul + lax.top_k for the whole request
+        batch — the serving-path shape the micro-batching server
+        (server.py) feeds."""
         L = self.cfg.user_log_length
-        row, m = pad_to_fix_len(trans_to_nindex(list(history),
-                                                self.news_index), L)
-        _, idx = self._topk_jit(
-            self.params, jnp.asarray([row], jnp.int32),
-            jnp.asarray(m[None, :]), k)
-        return [self._inv_index[int(i)] for i in np.asarray(idx[0])
-                if int(i) in self._inv_index]
+        b = len(histories)
+        hist = np.zeros((b, L), np.int32)
+        mask = np.zeros((b, L), np.float32)
+        for i, h in enumerate(histories):
+            row, m = pad_to_fix_len(trans_to_nindex(list(h),
+                                                    self.news_index), L)
+            hist[i], mask[i] = row, m
+        scores, idx = self._topk_jit(
+            self.params, jnp.asarray(hist), jnp.asarray(mask), int(k))
+        idx = np.asarray(idx)
+        ids = [[self._inv_index[int(i)] for i in row
+                if int(i) in self._inv_index] for row in idx]
+        return ids, np.asarray(scores)

@@ -1,0 +1,379 @@
+"""Production serving: micro-batching front-end + HTTP API over Recommender.
+
+The reference has no serving story at all — its closest analogue is the
+eval loop's per-impression numpy dots (``/root/reference/src/main.py:249-263``).
+This module turns the :class:`~newsrecommendation_tpu.serve.Recommender`
+(whole-corpus news-vector cache + jitted scoring) into a deployable service
+shaped for TPU execution:
+
+- **Micro-batching** (:class:`BatchingScorer`): concurrent requests are
+  coalesced into one padded device batch. TPUs want large batched matmuls;
+  per-request dispatch would leave the MXU idle and pay the dispatch
+  latency once per user instead of once per batch.
+- **Shape bucketing**: request batches are padded up to a small fixed set
+  of (batch, candidate-width) buckets so XLA compiles a handful of
+  executables once and every future request hits a cached one — unbounded
+  shape variety would retrace/recompile per shape (XLA traces are
+  shape-specialized).
+- **HTTP API** (:func:`serve`): a stdlib ThreadingHTTPServer with JSON
+  endpoints — ``POST /score`` (rank a candidate list), ``POST /recommend``
+  (corpus-wide top-k candidate generation), ``GET /healthz``,
+  ``GET /stats`` (request/batch/coalescing counters). One thread per
+  connection feeds the shared batcher, so concurrency turns directly into
+  device batch size.
+
+CLI: ``python -m newsrecommendation_tpu.cli --mode serve
+--load_ckpt_name epoch-1.ckpt --serve_port 8000``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def next_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (last bucket caps n)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class _Request:
+    kind: str                       # "score" | "recommend"
+    history: Sequence[str]
+    candidates: Optional[Sequence[str]] = None   # score only
+    k: int = 0                                   # recommend only
+    done: threading.Event = field(default_factory=threading.Event)
+    result: object = None
+    error: Optional[BaseException] = None
+
+
+class ServerStats:
+    """Thread-safe counters for the /stats endpoint."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.batched_requests = 0
+        self.max_batch_seen = 0
+        self.errors = 0
+
+    def record_batch(self, n: int):
+        with self._lock:
+            self.batches += 1
+            self.batched_requests += n
+            self.max_batch_seen = max(self.max_batch_seen, n)
+
+    def record_request(self):
+        with self._lock:
+            self.requests += 1
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            mean = (self.batched_requests / self.batches
+                    if self.batches else 0.0)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "mean_batch_size": round(mean, 2),
+                "max_batch_size": self.max_batch_seen,
+                "errors": self.errors,
+            }
+
+
+class BatchingScorer:
+    """Coalesces concurrent score/recommend requests into device batches.
+
+    A single worker thread drains the queue: it blocks for the first
+    request, then waits up to ``max_delay_ms`` (or until ``max_batch``
+    requests are pending) before dispatching, grouping requests by
+    (kind, shape bucket) into one padded device call per group. Each
+    caller blocks on its request's event and gets exactly its own rows
+    back, so results are identical to unbatched calls (row-wise scoring is
+    batch-invariant: user encoding and dot-product scoring have no
+    cross-row interaction).
+    """
+
+    def __init__(self, rec, max_batch: int = 64, max_delay_ms: float = 2.0,
+                 cand_buckets: Sequence[int] = (8, 32, 128, 384),
+                 k_buckets: Sequence[int] = (16, 128),
+                 stats: Optional[ServerStats] = None):
+        self.rec = rec
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        # batch buckets: powers of two up to max_batch
+        bb, b = [], 1
+        while b < self.max_batch:
+            bb.append(b)
+            b *= 2
+        bb.append(self.max_batch)
+        self.batch_buckets = bb
+        self.cand_buckets = tuple(sorted(cand_buckets))
+        self.k_buckets = tuple(sorted(k_buckets))
+        self.stats = stats or ServerStats()
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="batching-scorer")
+        self._worker.start()
+
+    # ---- public API (thread-safe, blocking) ------------------------------
+
+    def score(self, history: Sequence[str],
+              candidates: Sequence[str]) -> np.ndarray:
+        """(len(candidates),) scores; blocks until the batch executes."""
+        req = _Request("score", history, candidates=list(candidates))
+        return self._submit(req)
+
+    def recommend(self, history: Sequence[str], k: int = 10):
+        """(doc_ids, scores) top-k over the whole corpus."""
+        req = _Request("recommend", history, k=int(k))
+        return self._submit(req)
+
+    def close(self):
+        self._stop.set()
+        # unblock the worker's queue.get
+        self._q.put(_Request("stop", []))
+        self._worker.join(timeout=5)
+
+    def _submit(self, req: _Request):
+        if self._stop.is_set():
+            raise RuntimeError("BatchingScorer is closed")
+        self.stats.record_request()
+        self._q.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # ---- worker ----------------------------------------------------------
+
+    def _run(self):
+        import time
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first.kind == "stop":
+                break
+            batch = [first]
+            deadline = time.monotonic() + self.max_delay_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt.kind == "stop":
+                    self._stop.set()
+                    break
+                batch.append(nxt)
+            self._dispatch(batch)
+        # drain: fail any stragglers so callers don't hang
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req.kind != "stop":
+                req.error = RuntimeError("BatchingScorer closed")
+                req.done.set()
+
+    def _dispatch(self, batch: List[_Request]):
+        groups: Dict[tuple, List[_Request]] = {}
+        for r in batch:
+            if r.kind == "score":
+                key = ("score",
+                       next_bucket(max(1, len(r.candidates)),
+                                   self.cand_buckets))
+            else:
+                key = ("recommend", next_bucket(max(1, r.k), self.k_buckets))
+            groups.setdefault(key, []).append(r)
+        for (kind, width), reqs in groups.items():
+            try:
+                if kind == "score":
+                    self._run_score(reqs, width)
+                else:
+                    self._run_recommend(reqs, width)
+            except BaseException as e:  # deliver, don't kill the worker
+                self.stats.record_error()
+                for r in reqs:
+                    r.error = e
+                    r.done.set()
+
+    def _pad_requests(self, reqs: List[_Request]):
+        """Pad the request list itself up to a batch bucket (repeat row 0)."""
+        n = len(reqs)
+        bb = next_bucket(n, self.batch_buckets)
+        return n, bb
+
+    def _run_score(self, reqs: List[_Request], cand_width: int):
+        n, bb = self._pad_requests(reqs)
+        hists = [r.history for r in reqs] + [[]] * (bb - n)
+        cands = ([list(r.candidates)[:cand_width] for r in reqs]
+                 + [[]] * (bb - n))
+        self.stats.record_batch(n)
+        out = self.rec.score_batch(hists, cands, max_candidates=cand_width)
+        for i, r in enumerate(reqs):
+            r.result = np.asarray(out[i][: len(r.candidates)])
+            r.done.set()
+
+    def _run_recommend(self, reqs: List[_Request], k_width: int):
+        n, bb = self._pad_requests(reqs)
+        hists = [r.history for r in reqs] + [[]] * (bb - n)
+        self.stats.record_batch(n)
+        ids, scores = self.rec.recommend_batch(hists, k=k_width)
+        for i, r in enumerate(reqs):
+            r.result = (ids[i][: r.k], scores[i][: r.k])
+            r.done.set()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by serve(): batcher, rec, started
+    server_version = "newsrec-tpu/1.0"
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logging.debug("http: " + fmt, *args)
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        if n <= 0:
+            return {}
+        return json.loads(self.rfile.read(n).decode())
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            rec = self.server.rec  # type: ignore[attr-defined]
+            self._json(200, {
+                "status": "ok",
+                "model": rec.cfg.model,
+                "corpus_size": int(rec.news_scoring.shape[0]) - 1,
+            })
+        elif self.path == "/stats":
+            self._json(200,
+                       self.server.batcher.stats.snapshot())  # type: ignore
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        batcher = self.server.batcher  # type: ignore[attr-defined]
+        try:
+            req = self._read_json()
+            history = req.get("history", [])
+            if not isinstance(history, list):
+                raise ValueError("history must be a list of doc-id strings")
+            if self.path == "/score":
+                candidates = req.get("candidates", [])
+                if not candidates:
+                    raise ValueError("candidates must be a non-empty list")
+                scores = batcher.score(history, candidates)
+                order = np.argsort(-scores, kind="stable")
+                self._json(200, {
+                    "scores": [float(s) for s in scores],
+                    "ranked": [candidates[i] for i in order],
+                })
+            elif self.path == "/recommend":
+                k = int(req.get("k", 10))
+                ids, scores = batcher.recommend(history, k)
+                self._json(200, {
+                    "doc_ids": list(ids),
+                    "scores": [float(s) for s in scores],
+                })
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            logging.exception("serving error")
+            self._json(500, {"error": str(e)})
+
+
+def serve(rec, host: str = "127.0.0.1", port: int = 8000,
+          max_batch: int = 64, max_delay_ms: float = 2.0,
+          warmup: bool = True) -> ThreadingHTTPServer:
+    """Start the HTTP recommender service; returns the (started) server.
+
+    The caller owns shutdown: ``srv.shutdown(); srv.batcher.close()``.
+    ``warmup=True`` pre-traces the smallest score bucket so the first real
+    request doesn't pay the XLA compile.
+    """
+    batcher = BatchingScorer(rec, max_batch=max_batch,
+                             max_delay_ms=max_delay_ms)
+    if warmup:
+        batcher.score(["warmup"], ["warmup"])
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.rec = rec                    # type: ignore[attr-defined]
+    srv.batcher = batcher            # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True,
+                         name="newsrec-http")
+    t.start()
+    logging.info("serving on http://%s:%d (max_batch=%d, max_delay=%.1fms)",
+                 host, srv.server_address[1], max_batch, max_delay_ms)
+    return srv
+
+
+def run_server(cfg, state=None, vocabs: Optional[dict] = None) -> None:
+    """CLI entry: build a Recommender from cfg + checkpoint and serve forever."""
+    import os
+
+    from newsrecommendation_tpu.serve import Recommender
+
+    if state is not None and vocabs is not None:
+        # fresh from run_train in the same process
+        from newsrecommendation_tpu.data import build_news_features, read_news
+        from newsrecommendation_tpu.cli import build_embedding_table
+        corpus = read_news(
+            os.path.join(cfg.test_data_dir, "news.tsv"), cfg, "test",
+            **vocabs)
+        table = build_embedding_table(cfg, cfg.test_data_dir, corpus)
+        feats = build_news_features(corpus, cfg)
+        rec = Recommender.from_state(cfg, state.params, corpus.news_index,
+                                     feats)
+    else:
+        from newsrecommendation_tpu.ckpt import latest_checkpoint
+        name = cfg.load_ckpt_name
+        if not name or name == "latest":
+            ckpt = latest_checkpoint(cfg.model_dir)  # full path or None
+            if ckpt is None:
+                raise ValueError(
+                    f"--mode serve: no checkpoint found in {cfg.model_dir}")
+        else:
+            ckpt = name if os.path.isabs(name) else os.path.join(
+                cfg.model_dir, name)
+        rec = Recommender.from_checkpoint(ckpt, cfg, cfg.test_data_dir)
+    srv = serve(rec, host=cfg.serve_host, port=cfg.serve_port,
+                max_batch=cfg.serve_max_batch,
+                max_delay_ms=cfg.serve_max_delay_ms)
+    try:
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        srv.batcher.close()  # type: ignore[attr-defined]

@@ -1,0 +1,192 @@
+"""Serving layer: micro-batching scorer + HTTP API (server.py).
+
+The reference has no serving component (its eval loop is the closest
+analogue, /root/reference/src/main.py:185-263); these tests cover the new
+capability: batching correctness (coalesced results == unbatched results),
+shape bucketing, and the HTTP contract.
+"""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from newsrecommendation_tpu.config import Config
+from newsrecommendation_tpu.serve import Recommender
+from newsrecommendation_tpu.server import (
+    BatchingScorer,
+    next_bucket,
+    serve,
+)
+
+
+@pytest.fixture(scope="module")
+def rec():
+    """Small untrained Recommender (batching correctness needs no training)."""
+    import jax
+
+    from newsrecommendation_tpu.models import get_model
+
+    cfg = Config(
+        model="NRMS", title_source="word_ids", num_words_title=8,
+        user_log_length=10, word_embedding_dim=32, news_dim=32,
+        num_attention_heads=4, news_query_vector_dim=16,
+        user_query_vector_dim=16, deterministic=True, user_log_mask=True,
+    )
+    rng = np.random.default_rng(0)
+    vocab = 200
+    num_news = 60
+    table = rng.normal(0, 0.1, size=(vocab, 32)).astype(np.float32)
+    table[0] = 0.0
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    feats = np.zeros((num_news + 1, cfg.news_feature_width), np.int32)
+    feats[1:] = rng.integers(1, vocab, size=(num_news, cfg.news_feature_width))
+    news_index = {f"N{i}": i for i in range(1, num_news + 1)}
+    return Recommender.from_state(cfg, params, news_index, feats)
+
+
+def test_next_bucket():
+    assert next_bucket(1, (8, 32)) == 8
+    assert next_bucket(8, (8, 32)) == 8
+    assert next_bucket(9, (8, 32)) == 32
+    assert next_bucket(99, (8, 32)) == 32  # capped at the largest bucket
+
+
+def test_recommend_batch_matches_single(rec):
+    hists = [["N1", "N2"], ["N7"], ["N3", "N9", "N11"]]
+    ids, scores = rec.recommend_batch(hists, k=5)
+    assert scores.shape == (3, 5)
+    for i, h in enumerate(hists):
+        assert ids[i] == rec.recommend(h, k=5)
+
+
+def test_batching_matches_direct(rec):
+    """Concurrent coalesced requests return exactly the unbatched scores."""
+    batcher = BatchingScorer(rec, max_batch=16, max_delay_ms=200)
+    try:
+        hists = [[f"N{1 + (i % 7)}", f"N{2 + i % 5}"] for i in range(12)]
+        cands = [[f"N{10 + i}", f"N{20 + i}", f"N{30 + i}"]
+                 for i in range(12)]
+        results = [None] * 12
+        barrier = threading.Barrier(12)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = batcher.score(hists[i], cands[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i in range(12):
+            want = rec.score(hists[i], cands[i])
+            np.testing.assert_allclose(results[i], want, rtol=1e-5,
+                                       atol=1e-6)
+        snap = batcher.stats.snapshot()
+        assert snap["requests"] == 12
+        # the barrier makes all 12 requests near-simultaneous and the 200 ms
+        # window is huge relative to queue hops: they must coalesce
+        assert snap["batches"] < 12
+        assert snap["max_batch_size"] > 1
+    finally:
+        batcher.close()
+
+
+def test_batching_mixed_kinds_and_errors(rec):
+    batcher = BatchingScorer(rec, max_batch=8, max_delay_ms=50)
+    try:
+        out = {}
+
+        def do_score():
+            out["score"] = batcher.score(["N1"], ["N10", "N11"])
+
+        def do_rec():
+            out["rec"] = batcher.recommend(["N2"], k=3)
+
+        ts = [threading.Thread(target=do_score),
+              threading.Thread(target=do_rec)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        np.testing.assert_allclose(out["score"],
+                                   rec.score(["N1"], ["N10", "N11"]),
+                                   rtol=1e-5, atol=1e-6)
+        ids, scores = out["rec"]
+        assert ids == rec.recommend(["N2"], k=3)
+        assert len(scores) == 3
+    finally:
+        batcher.close()
+    with pytest.raises(RuntimeError):
+        batcher.score(["N1"], ["N2"])  # closed
+
+
+@pytest.fixture(scope="module")
+def http_srv(rec):
+    srv = serve(rec, host="127.0.0.1", port=0, max_batch=8, max_delay_ms=5)
+    yield srv
+    srv.shutdown()
+    srv.batcher.close()
+
+
+def _post(srv, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1],
+                                      timeout=30)
+    conn.request("POST", path, body=json.dumps(payload),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = json.loads(resp.read().decode())
+    conn.close()
+    return resp.status, body
+
+
+def _get(srv, path):
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1],
+                                      timeout=30)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    body = json.loads(resp.read().decode())
+    conn.close()
+    return resp.status, body
+
+
+def test_http_healthz_stats(http_srv, rec):
+    status, body = _get(http_srv, "/healthz")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["corpus_size"] == len(rec.news_index)
+    status, body = _get(http_srv, "/stats")
+    assert status == 200
+    assert body["requests"] >= 1  # warmup counted
+
+
+def test_http_score_and_recommend(http_srv, rec):
+    hist = ["N1", "N2"]
+    cands = ["N10", "N20", "N30"]
+    status, body = _post(http_srv, "/score",
+                         {"history": hist, "candidates": cands})
+    assert status == 200
+    np.testing.assert_allclose(body["scores"], rec.score(hist, cands),
+                               rtol=1e-5, atol=1e-6)
+    assert body["ranked"] == rec.rank(hist, cands)
+
+    status, body = _post(http_srv, "/recommend", {"history": hist, "k": 4})
+    assert status == 200
+    assert body["doc_ids"] == rec.recommend(hist, k=4)
+    assert len(body["scores"]) == 4
+
+
+def test_http_bad_requests(http_srv):
+    status, body = _post(http_srv, "/score", {"history": ["N1"]})
+    assert status == 400 and "candidates" in body["error"]
+    status, body = _post(http_srv, "/score",
+                         {"history": "N1", "candidates": ["N2"]})
+    assert status == 400
+    status, body = _post(http_srv, "/nope", {})
+    assert status == 404
