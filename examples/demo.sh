@@ -40,6 +40,14 @@ elif [ "${mode}" == nrms ]; then
     --title_source word_ids --epochs 4 --batch_size 32 --lr 0.0003 \
     --model_dir model/NRMS --train_data_dir ${train_data_dir} \
     --test_data_dir ${test_data_dir}
+elif [ "${mode}" == serve ]; then
+  # production serving from the newest checkpoint: micro-batching HTTP API
+  #   curl -s -XPOST localhost:8000/score \
+  #     -d '{"history":["N1","N2"],"candidates":["N5","N9"]}'
+  python -m newsrecommendation_tpu.cli --mode serve --model NRMS \
+    --title_source word_ids --user_log_mask True --deterministic True \
+    --model_dir model/NRMS --test_data_dir ${test_data_dir} \
+    --load_ckpt_name latest --serve_port "${2:-8000}"
 else
-  echo "usage: demo.sh {train|test <ckpt>|embeddings|nrms|parity}"
+  echo "usage: demo.sh {train|test <ckpt>|embeddings|nrms|parity|serve [port]}"
 fi
