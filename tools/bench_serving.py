@@ -1,0 +1,181 @@
+"""End-to-end serving load bench: concurrent HTTP clients -> QPS + latency.
+
+Builds a Recommender over a synthetic corpus (or a real checkpoint via
+--ckpt/--data_dir), starts the micro-batching HTTP server (server.py), and
+drives it with N concurrent closed-loop clients. Reports throughput,
+latency percentiles, and the realized device batch size — the number that
+shows request concurrency actually turning into MXU batch size.
+
+    python tools/bench_serving.py [--clients 32] [--requests 40]
+        [--num_news 65536] [--candidates 300] [--max_delay_ms 2]
+
+The reference has no serving component to compare against (its eval loop,
+/root/reference/src/main.py:185-263, is offline); bench.py's
+impression_scoring_qps line measures the same scoring math without the
+HTTP/batching layer, so the delta between the two is the serving overhead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_recommender(num_news: int, seed: int = 0):
+    import jax
+
+    from newsrecommendation_tpu.config import Config
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.serve import Recommender
+
+    cfg = Config(
+        model="NRMS", title_source="word_ids", num_words_title=20,
+        user_log_length=50, word_embedding_dim=300, news_dim=400,
+        news_query_vector_dim=200, user_query_vector_dim=200,
+        num_attention_heads=20, deterministic=True, user_log_mask=True,
+    )
+    rng = np.random.default_rng(seed)
+    vocab = 30000
+    table = rng.normal(0, 0.06, size=(vocab, 300)).astype(np.float32)
+    table[0] = 0.0
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(seed), cfg, table)
+    feats = np.zeros((num_news + 1, cfg.news_feature_width), np.int32)
+    feats[1:] = rng.integers(1, vocab,
+                             size=(num_news, cfg.news_feature_width))
+    news_index = {f"N{i}": i for i in range(1, num_news + 1)}
+    return Recommender.from_state(cfg, params, news_index, feats)
+
+
+def run_clients(port: int, n_clients: int, n_requests: int, num_news: int,
+                n_candidates: int, recommend_every: int = 0):
+    """Closed-loop clients; returns (wall_s, latencies_ms, errors)."""
+    lat: list = []
+    errors: list = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(n_clients + 1)
+
+    def client(cid: int):
+        r = np.random.default_rng(cid)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        barrier.wait()
+        for i in range(n_requests):
+            hist = [f"N{j}" for j in
+                    r.integers(1, num_news + 1, size=20)]
+            if recommend_every and i % recommend_every == 0:
+                path, payload = "/recommend", {"history": hist, "k": 10}
+            else:
+                cands = [f"N{j}" for j in
+                         r.integers(1, num_news + 1, size=n_candidates)]
+                path, payload = "/score", {"history": hist,
+                                           "candidates": cands}
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", path, body=json.dumps(payload))
+                resp = conn.getresponse()
+                body = resp.read()
+                if resp.status != 200:
+                    raise RuntimeError(body[:200])
+            except Exception as e:  # noqa: BLE001 - collect, don't die
+                with lock:
+                    errors.append(repr(e))
+                conn.close()
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=120)
+                continue
+            with lock:
+                lat.append(1e3 * (time.perf_counter() - t0))
+        conn.close()
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    return time.perf_counter() - t0, lat, errors
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=40,
+                    help="requests per client")
+    ap.add_argument("--num_news", type=int, default=65536)
+    ap.add_argument("--candidates", type=int, default=300)
+    ap.add_argument("--max_batch", type=int, default=64)
+    ap.add_argument("--max_delay_ms", type=float, default=2.0)
+    ap.add_argument("--recommend_every", type=int, default=0,
+                    help="every Nth request is a corpus-wide /recommend")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from newsrecommendation_tpu.server import serve
+
+    print(f"# building {args.num_news}-doc recommender "
+          f"(backend={jax.default_backend()})", flush=True)
+    rec = build_recommender(args.num_news)
+    srv = serve(rec, port=0, max_batch=args.max_batch,
+                max_delay_ms=args.max_delay_ms)
+    port = srv.server_address[1]
+
+    # warm every bucket the load will hit (client count caps the batch)
+    print("# warming shape buckets", flush=True)
+    warm, _, werr = run_clients(port, min(args.clients, 8), 2,
+                                args.num_news, args.candidates,
+                                args.recommend_every)
+    if werr:
+        print(f"# warmup errors: {werr[:3]}", file=sys.stderr)
+
+    print(f"# load: {args.clients} clients x {args.requests} requests",
+          flush=True)
+    wall, lat, errors = run_clients(port, args.clients, args.requests,
+                                    args.num_news, args.candidates,
+                                    args.recommend_every)
+    stats = srv.batcher.stats.snapshot()
+    srv.shutdown()
+    srv.batcher.close()
+
+    lat = np.asarray(sorted(lat))
+    n = len(lat)
+    out = {
+        "metric": "serving_http_qps",
+        "value": round(n / wall, 1),
+        "unit": "requests/s",
+        "detail": {
+            "clients": args.clients,
+            "candidates": args.candidates,
+            "corpus": args.num_news,
+            "p50_ms": round(float(lat[n // 2]), 1) if n else None,
+            "p95_ms": round(float(lat[int(n * 0.95)]), 1) if n else None,
+            "p99_ms": round(float(lat[min(int(n * 0.99), n - 1)]), 1)
+            if n else None,
+            "mean_batch": stats["mean_batch_size"],
+            "max_batch": stats["max_batch_size"],
+            "errors": len(errors),
+        },
+    }
+    print(json.dumps(out), flush=True)
+    if errors:
+        print(f"# first errors: {errors[:3]}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
