@@ -338,8 +338,12 @@ def serve(rec, host: str = "127.0.0.1", port: int = 8000,
     return srv
 
 
-def run_server(cfg, state=None, vocabs: Optional[dict] = None) -> None:
-    """CLI entry: build a Recommender from cfg + checkpoint and serve forever."""
+def run_server(cfg, state=None, vocabs: Optional[dict] = None,
+               block: bool = True):
+    """CLI entry: build a Recommender from cfg + checkpoint and serve.
+
+    ``block=False`` (tests) returns the started server instead of parking
+    the main thread."""
     import os
 
     from newsrecommendation_tpu.serve import Recommender
@@ -370,6 +374,8 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None) -> None:
     srv = serve(rec, host=cfg.serve_host, port=cfg.serve_port,
                 max_batch=cfg.serve_max_batch,
                 max_delay_ms=cfg.serve_max_delay_ms)
+    if not block:
+        return srv
     try:
         threading.Event().wait()  # serve until interrupted
     except KeyboardInterrupt:

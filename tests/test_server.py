@@ -182,6 +182,54 @@ def test_http_score_and_recommend(http_srv, rec):
     assert len(body["scores"]) == 4
 
 
+def test_run_server_from_checkpoint(tmp_path):
+    """The CLI --mode serve path: checkpoint + data dir -> live server."""
+    import jax
+
+    from newsrecommendation_tpu.ckpt import save_checkpoint
+    from newsrecommendation_tpu.data import build_news_features, read_news
+    from newsrecommendation_tpu.data.synthetic import generate_corpus
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.server import run_server
+    from newsrecommendation_tpu.train import create_train_state
+
+    data_dir = str(tmp_path / "dev")
+    generate_corpus(data_dir, num_news=50, num_users=10,
+                    num_impressions=40, seed=5)
+    cfg = Config(
+        model="NRMS", title_source="word_ids", num_words_title=8,
+        user_log_length=10, word_embedding_dim=16, news_dim=16,
+        num_attention_heads=4, news_query_vector_dim=8,
+        user_query_vector_dim=8, filter_num=0, deterministic=True,
+        user_log_mask=True, mode="serve", model_dir=str(tmp_path / "model"),
+        test_data_dir=data_dir, load_ckpt_name="latest", serve_port=0,
+    )
+    corpus = read_news(f"{data_dir}/news.tsv", cfg, "train")
+    rng = np.random.default_rng(0)
+    table = rng.normal(0, 0.1, size=(len(corpus.word_dict) + 1,
+                                     16)).astype(np.float32)
+    model = get_model(cfg.model)
+    state = create_train_state(
+        cfg, model.init(jax.random.PRNGKey(0), cfg, table))
+    save_checkpoint(cfg.model_dir, "epoch-1.ckpt", state, cfg,
+                    category_dict=corpus.category_dict,
+                    subcategory_dict=corpus.subcategory_dict,
+                    word_dict=corpus.word_dict)
+
+    srv = run_server(cfg, block=False)
+    try:
+        status, body = _get(srv, "/healthz")
+        assert status == 200 and body["status"] == "ok"
+        doc = next(iter(read_news(f"{data_dir}/news.tsv", cfg,
+                                  "train").news_index))
+        status, body = _post(srv, "/score",
+                             {"history": [doc], "candidates": [doc]})
+        assert status == 200 and len(body["scores"]) == 1
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 def test_http_bad_requests(http_srv):
     status, body = _post(http_srv, "/score", {"history": ["N1"]})
     assert status == 400 and "candidates" in body["error"]
