@@ -67,21 +67,47 @@ def capture(cfg, trace_dir, steps=12):
 
 
 def summarize(trace_dir, top=40):
-    """Parse the newest xplane.pb and print device-op self times."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    """Parse the newest xplane.pb and print per-op device times.
+
+    Parses the XSpace proto directly with the tsl protobuf — the
+    tensorboard profile plugin's converter is incompatible with the
+    baked-in TF (its _pywrap_profiler lacks xspace_to_tools_data and its
+    _pb2 files predate protobuf 4). The TPU device plane's "XLA Ops" line
+    carries one event per executed op; aggregating durations by op name
+    and dividing by the "Steps" line's event count gives ms/step per op.
+    """
+    import collections
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "plugins/profile/*/*.xplane.pb")))
     assert paths, f"no xplane.pb under {trace_dir}"
-    path = paths[-1]
-    # framework_op_stats: aggregated per-op table (csv-convertible)
-    data, _ = rtd.xspace_to_tool_data([path], "framework_op_stats", {
-        "tqx": "out:csv;"})
-    text = data.decode() if isinstance(data, bytes) else str(data)
-    lines = text.splitlines()
-    print(lines[0])
-    for ln in lines[1:top + 1]:
-        print(ln)
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    devs = [p for p in xs.planes if p.name.startswith("/device:")
+            and any(l.events for l in p.lines)]
+    assert devs, f"no device plane with events in {paths[-1]}"
+    dev = devs[0]
+    md = dev.event_metadata
+    lines = {l.name: l for l in dev.lines}
+    nsteps = max(len(lines["Steps"].events), 1) if "Steps" in lines else 1
+    if "Steps" in lines:
+        avg = (sum(e.duration_ps for e in lines["Steps"].events)
+               / nsteps / 1e9)
+        print(f"device={dev.name} steps={nsteps} avg_step={avg:.3f} ms")
+    agg, cnt = collections.Counter(), collections.Counter()
+    for e in lines["XLA Ops"].events:
+        name = md[e.metadata_id].name
+        agg[name] += e.duration_ps
+        cnt[name] += 1
+    total = sum(agg.values())
+    print(f"total device op time: {total / nsteps / 1e9:.3f} ms/step")
+    print(f"{'ms/step':>8}  {'count':>5}  op")
+    for name, ps in agg.most_common(top):
+        print(f"{ps / nsteps / 1e9:8.3f}  x{cnt[name] // nsteps:<4} "
+              f"{name[:120]}")
 
 
 def main():
