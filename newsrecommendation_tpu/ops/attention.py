@@ -108,12 +108,23 @@ def init_multi_head_self_attention(key, d_model: int, n_heads: int, d_k: int,
 
 def _fused_qkv(params, x):
     """One (d_model, 3*H*d) projection matmul instead of three (see
-    multi_head_self_attention). Returns (qkv, nq, nk, nv)."""
+    multi_head_self_attention). Returns (qkv_raw, bias, nq, nk, nv) with
+    the bias NOT yet added — the Pallas qkv kernels fold it in VMEM
+    (exp_mhsa_qkv_bias*), every other consumer adds it up front.
+
+    The matmul runs on the 2-D (N*S, d_model) view: XLA's layout
+    assignment gives a plain 2-D dot a row-major output that bitcasts to
+    the (N, S, 3·H·d) row-major layout the kernels want, where the 3-D
+    formulation picked a batch-minor dot output and inserted a full
+    relayout copy of the (N, S, 3·H·d) tensor (1.3 ms/step at the bench
+    shape — docs/PERF.md)."""
     wq, wk, wv = params["wq"], params["wk"], params["wv"]
     w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1).astype(x.dtype)
     bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
-    qkv = jnp.matmul(x, w) + bias
-    return qkv, wq["w"].shape[1], wk["w"].shape[1], wv["w"].shape[1]
+    n, s, dm = x.shape
+    qkv_raw = jnp.matmul(x.reshape(n * s, dm), w).reshape(n, s, -1)
+    return (qkv_raw, bias,
+            wq["w"].shape[1], wk["w"].shape[1], wv["w"].shape[1])
 
 
 def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
@@ -130,7 +141,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
     """
     from newsrecommendation_tpu.ops.common import dropout as _dropout
 
-    qkv, nq, nk, nv = _fused_qkv(mhsa_params, x)
+    qkv_raw, bias, nq, nk, nv = _fused_qkv(mhsa_params, x)
     use_dropout = (not deterministic) and drop_rate > 0.0
 
     if nq == nk == nv and nq % n_heads == 0:
@@ -138,6 +149,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
             fused_tail_enabled,
         )
         if fused_tail_enabled(n_heads):
+            qkv = qkv_raw + bias
             from newsrecommendation_tpu.ops.pallas.fused_encoder import (
                 exp_mhsa_pool,
                 exp_mhsa_pool_masked,
@@ -158,7 +170,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
                                         b1, w2, b2, seed, n_heads,
                                         float(drop_rate), not use_dropout)
 
-    ctx = _mhsa_from_qkv(qkv, nq, nk, nv, mask, n_heads=n_heads)
+    ctx = _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask, n_heads=n_heads)
     if use_dropout:
         ctx = _dropout(rng, ctx, drop_rate, deterministic)
     return attention_pooling(pool_params, ctx, mask)
@@ -184,12 +196,18 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     retrace) — call ``jax.clear_caches()`` after ``set_attention_layout``
     etc., or set them before the first jitted call (cli.main does).
     """
-    qkv, nq, nk, nv = _fused_qkv(params, x)
-    return _mhsa_from_qkv(qkv, nq, nk, nv, mask, n_heads=n_heads)
+    qkv_raw, bias, nq, nk, nv = _fused_qkv(params, x)
+    return _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask, n_heads=n_heads)
 
 
-def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
-    b, s, _ = qkv.shape
+def _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask=None, *, n_heads: int):
+    """Dispatch MHSA over the un-biased fused projection output.
+
+    The fused-qkv Pallas kernels fold the bias add in VMEM
+    (exp_mhsa_qkv_bias*, saving the standalone (N,S,3·H·d) HBM round
+    trip); every other path materializes ``qkv_raw + bias`` first.
+    """
+    b, s, _ = qkv_raw.shape
 
     if nq % n_heads == 0:
         from newsrecommendation_tpu.ops.pallas import pallas_enabled
@@ -202,6 +220,7 @@ def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
                     flash_exp_mhsa,
                     flash_exp_mhsa_masked,
                 )
+                qkv = qkv_raw + bias
                 qf, kf, vf = (qkv[..., :nq], qkv[..., nq:nq + nk],
                               qkv[..., nq + nk:])
                 if mask is None:
@@ -222,18 +241,21 @@ def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
                         exp_mhsa_qkv_blanes,
                         exp_mhsa_qkv_blanes_masked,
                     )
+                    qkv = qkv_raw + bias
                     if mask is None:
                         return exp_mhsa_qkv_blanes(qkv, n_heads)
                     return exp_mhsa_qkv_blanes_masked(
                         qkv, mask.astype(jnp.float32), n_heads)
                 from newsrecommendation_tpu.ops.pallas import (
-                    exp_mhsa_qkv,
-                    exp_mhsa_qkv_masked,
+                    exp_mhsa_qkv_bias,
+                    exp_mhsa_qkv_bias_masked,
                 )
                 if mask is None:
-                    return exp_mhsa_qkv(qkv, n_heads)
-                return exp_mhsa_qkv_masked(qkv, mask.astype(jnp.float32),
-                                           n_heads)
+                    return exp_mhsa_qkv_bias(qkv_raw, bias, n_heads)
+                return exp_mhsa_qkv_bias_masked(qkv_raw, bias,
+                                                mask.astype(jnp.float32),
+                                                n_heads)
+            qkv = qkv_raw + bias
             if mask is None:
                 from newsrecommendation_tpu.ops.pallas import exp_mhsa
                 return exp_mhsa(qkv[..., :nq], qkv[..., nq:nq + nk],
@@ -243,6 +265,7 @@ def _mhsa_from_qkv(qkv, nq, nk, nv, mask=None, *, n_heads: int):
                                    qkv[..., nq + nk:],
                                    mask.astype(jnp.float32), n_heads)
 
+    qkv = qkv_raw + bias
     qf = qkv[..., :nq]
     kf = qkv[..., nq:nq + nk]
     vf = qkv[..., nq + nk:]

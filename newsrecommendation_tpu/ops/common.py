@@ -20,5 +20,12 @@ def dropout(key, x, rate: float, deterministic: bool):
     if deterministic or rate == 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
+    # Draw the mask on the flattened-2D shape: XLA gives a >2-D
+    # rng-bit-generator a batch-minor layout and then inserts full relayout
+    # copies of the u32 bit tensors to feed the row-major dropout fusion
+    # (1.6 ms/step at the bench shape — docs/PERF.md); the 2-D draw comes
+    # out row-major and the reshape is a free bitcast. Same distribution,
+    # same element count — only the bit-to-element assignment differs.
+    shape2d = (x.size // x.shape[-1], x.shape[-1]) if x.ndim > 2 else x.shape
+    mask = jax.random.bernoulli(key, keep, shape2d).reshape(x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)

@@ -2,6 +2,8 @@ from newsrecommendation_tpu.ops.pallas.fused_attention import (  # noqa: F401
     exp_mhsa,
     exp_mhsa_masked,
     exp_mhsa_qkv,
+    exp_mhsa_qkv_bias,
+    exp_mhsa_qkv_bias_masked,
     exp_mhsa_qkv_masked,
 )
 from newsrecommendation_tpu.ops.pallas.fused_encoder import (  # noqa: F401

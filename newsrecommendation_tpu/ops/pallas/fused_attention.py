@@ -193,13 +193,21 @@ def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _qkv_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None):
+def _qkv_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None,
+                    bias_ref=None):
     """Forward over FUSED qkv (BN, T, 3*H*D): head h's q/k/v live at lane
     offsets h*D, H*D + h*D, 2*H*D + h*D. Keeping the projection output fused
     means XLA never materializes separate q/k/v in HBM — the profile showed
     those splits (async slice + relayout copies of (N,T,H*D) tensors) costing
-    more than the attention math itself."""
+    more than the attention math itself.
+
+    bias_ref (optional, (1, 3*H*D)): the QKV projection bias, added in VMEM
+    after load — folding it here removes the standalone (N,T,3·H·D)
+    broadcast-add HBM round trip (measured 1.4 ms/step at the bench shape)."""
     qkv = qkv_ref[...]
+    if bias_ref is not None:
+        # same-dtype add == the XLA path's `matmul(x, w) + bias` bit-for-bit
+        qkv = qkv + bias_ref[...][None]
     mask = (None if mask_ref is None
             else mask_ref[...].astype(jnp.float32)[:, None, :])
     hd = n_heads * d_head
@@ -229,11 +237,14 @@ def _qkv_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None):
 
 
 def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head,
-                    mask_ref=None):
+                    mask_ref=None, bias_ref=None):
     """Backward emitting FUSED dqkv — the projection backward then consumes
     one contiguous buffer (dx = dqkv @ W^T, dW = x^T @ dqkv) with no HBM
-    concatenation of dq/dk/dv."""
+    concatenation of dq/dk/dv. With bias_ref the forward recompute adds the
+    bias in VMEM (d(bias) itself is a plain reduce of dqkv, left to XLA)."""
     qkv = qkv_ref[...]
+    if bias_ref is not None:
+        qkv = qkv + bias_ref[...][None]
     g = g_ref[...]
     mask = (None if mask_ref is None
             else mask_ref[...].astype(jnp.float32)[:, None, :])
@@ -428,6 +439,17 @@ def _qkv_fwd_masked(qkv_ref, mask_ref, o_ref, *, n_heads, d_head):
                     mask_ref=mask_ref)
 
 
+def _qkv_fwd_bias(qkv_ref, bias_ref, o_ref, *, n_heads, d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    bias_ref=bias_ref)
+
+
+def _qkv_fwd_bias_masked(qkv_ref, bias_ref, mask_ref, o_ref, *, n_heads,
+                         d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    mask_ref=mask_ref, bias_ref=bias_ref)
+
+
 def _qkv_bwd_unmasked(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head):
     _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_heads=n_heads, d_head=d_head)
 
@@ -437,29 +459,60 @@ def _qkv_bwd_masked(qkv_ref, mask_ref, g_ref, dqkv_ref, *, n_heads, d_head):
                     mask_ref=mask_ref)
 
 
+def _qkv_bwd_bias(qkv_ref, bias_ref, g_ref, dqkv_ref, *, n_heads, d_head):
+    _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_heads=n_heads, d_head=d_head,
+                    bias_ref=bias_ref)
+
+
+def _qkv_bwd_bias_masked(qkv_ref, bias_ref, mask_ref, g_ref, dqkv_ref, *,
+                         n_heads, d_head):
+    _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_heads=n_heads, d_head=d_head,
+                    mask_ref=mask_ref, bias_ref=bias_ref)
+
+
 def _qkv_specs(n, t, w3, w1, bn):
     qkv_spec = pl.BlockSpec((bn, t, w3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bn, t, w1), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     m_spec = pl.BlockSpec((bn, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return qkv_spec, o_spec, m_spec
+    b_spec = pl.BlockSpec((1, w3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return qkv_spec, o_spec, m_spec, b_spec
 
 
-def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows):
+_QKV_FWD = {  # (has_bias, has_mask) -> kernel fn
+    (False, False): _qkv_fwd_unmasked,
+    (False, True): _qkv_fwd_masked,
+    (True, False): _qkv_fwd_bias,
+    (True, True): _qkv_fwd_bias_masked,
+}
+_QKV_BWD = {
+    (False, False): _qkv_bwd_unmasked,
+    (False, True): _qkv_bwd_masked,
+    (True, False): _qkv_bwd_bias,
+    (True, True): _qkv_bwd_bias_masked,
+}
+
+
+def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows, bias=None):
     n, t, w3 = qkv.shape
     w1 = w3 // 3
     bn = _capped_block_rows(n, block_rows, t, w3, w1, qkv.dtype.itemsize)
-    qkv_spec, o_spec, m_spec = _qkv_specs(n, t, w3, w1, bn)
-    kernel = (functools.partial(_qkv_fwd_unmasked, n_heads=n_heads,
-                                d_head=d_head) if mask is None else
-              functools.partial(_qkv_fwd_masked, n_heads=n_heads,
-                                d_head=d_head))
+    qkv_spec, o_spec, m_spec, b_spec = _qkv_specs(n, t, w3, w1, bn)
+    kernel = functools.partial(_QKV_FWD[(bias is not None, mask is not None)],
+                               n_heads=n_heads, d_head=d_head)
+    in_specs, args = [qkv_spec], [qkv]
+    if bias is not None:
+        in_specs.append(b_spec)
+        args.append(bias.reshape(1, w3).astype(qkv.dtype))
+    if mask is not None:
+        in_specs.append(m_spec)
+        args.append(mask)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, t, w1), qkv.dtype),
         grid=(n // bn,),
-        in_specs=([qkv_spec] if mask is None else [qkv_spec, m_spec]),
+        in_specs=in_specs,
         out_specs=o_spec,
         interpret=pallas_interpret(),
         compiler_params=pltpu.CompilerParams(
@@ -470,25 +523,31 @@ def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows):
             bytes_accessed=(qkv.size + n * t * w1) * qkv.dtype.itemsize,
             transcendentals=n * n_heads * t * t,
         ),
-    )(*((qkv,) if mask is None else (qkv, mask)))
+    )(*args)
 
 
-def _qkv_bwd_call(qkv, mask, g, n_heads, d_head, block_rows):
+def _qkv_bwd_call(qkv, mask, g, n_heads, d_head, block_rows, bias=None):
     n, t, w3 = qkv.shape
     w1 = w3 // 3
     bn = _capped_block_rows(n, max(block_rows // 2, 1), t, 2 * w3 + w1, w1,
                             qkv.dtype.itemsize)
-    qkv_spec, o_spec, m_spec = _qkv_specs(n, t, w3, w1, bn)
-    kernel = (functools.partial(_qkv_bwd_unmasked, n_heads=n_heads,
-                                d_head=d_head) if mask is None else
-              functools.partial(_qkv_bwd_masked, n_heads=n_heads,
-                                d_head=d_head))
+    qkv_spec, o_spec, m_spec, b_spec = _qkv_specs(n, t, w3, w1, bn)
+    kernel = functools.partial(_QKV_BWD[(bias is not None, mask is not None)],
+                               n_heads=n_heads, d_head=d_head)
+    in_specs, args = [qkv_spec], [qkv]
+    if bias is not None:
+        in_specs.append(b_spec)
+        args.append(bias.reshape(1, w3).astype(qkv.dtype))
+    if mask is not None:
+        in_specs.append(m_spec)
+        args.append(mask)
+    in_specs.append(o_spec)
+    args.append(g)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
         grid=(n // bn,),
-        in_specs=([qkv_spec, o_spec] if mask is None
-                  else [qkv_spec, m_spec, o_spec]),
+        in_specs=in_specs,
         out_specs=qkv_spec,
         interpret=pallas_interpret(),
         compiler_params=pltpu.CompilerParams(
@@ -500,7 +559,7 @@ def _qkv_bwd_call(qkv, mask, g, n_heads, d_head, block_rows):
             * qkv.dtype.itemsize,
             transcendentals=n * n_heads * t * t,
         ),
-    )(*((qkv, g) if mask is None else (qkv, mask, g)))
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -551,6 +610,67 @@ def _exp_mhsa_qkv_masked_bwd(n_heads, block_rows, res, g):
 
 
 exp_mhsa_qkv_masked.defvjp(_exp_mhsa_qkv_masked_fwd, _exp_mhsa_qkv_masked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def exp_mhsa_qkv_bias(qkv, bias, n_heads: int, block_rows: int = 128):
+    """exp_mhsa_qkv over an UN-biased projection output plus its bias.
+
+    Identical math to ``exp_mhsa_qkv(qkv + bias, ...)`` (the bias add runs
+    in VMEM at the input dtype), but the (N, T, 3·H·D) biased tensor never
+    exists in HBM: the projection matmul's output feeds the kernel
+    directly. bias: (3*H*D,). d(bias) is the plain row-sum of d(qkv),
+    computed by XLA outside the kernel (same reduce it already emits for
+    the unfused bias add's backward).
+    """
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    return _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows, bias=bias)
+
+
+def _exp_mhsa_qkv_bias_fwd(qkv, bias, n_heads, block_rows):
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    out = _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows, bias=bias)
+    return out, (qkv, bias)
+
+
+def _exp_mhsa_qkv_bias_bwd(n_heads, block_rows, res, g):
+    qkv, bias = res
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    dqkv = _qkv_bwd_call(qkv, None, g.astype(qkv.dtype), n_heads, d_head,
+                         block_rows, bias=bias)
+    dbias = jnp.sum(dqkv, axis=(0, 1)).astype(bias.dtype)
+    return dqkv, dbias
+
+
+exp_mhsa_qkv_bias.defvjp(_exp_mhsa_qkv_bias_fwd, _exp_mhsa_qkv_bias_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def exp_mhsa_qkv_bias_masked(qkv, bias, key_mask, n_heads: int,
+                             block_rows: int = 128):
+    """Key-masked variant of exp_mhsa_qkv_bias."""
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    return _qkv_fwd_call(qkv, key_mask, n_heads, d_head, block_rows,
+                         bias=bias)
+
+
+def _exp_mhsa_qkv_bias_masked_fwd(qkv, bias, key_mask, n_heads, block_rows):
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    out = _qkv_fwd_call(qkv, key_mask, n_heads, d_head, block_rows, bias=bias)
+    return out, (qkv, bias, key_mask)
+
+
+def _exp_mhsa_qkv_bias_masked_bwd(n_heads, block_rows, res, g):
+    qkv, bias, key_mask = res
+    d_head = qkv.shape[-1] // (3 * n_heads)
+    dqkv = _qkv_bwd_call(qkv, key_mask, g.astype(qkv.dtype), n_heads, d_head,
+                         block_rows, bias=bias)
+    dbias = jnp.sum(dqkv, axis=(0, 1)).astype(bias.dtype)
+    return dqkv, dbias, jnp.zeros_like(key_mask)
+
+
+exp_mhsa_qkv_bias_masked.defvjp(_exp_mhsa_qkv_bias_masked_fwd,
+                                _exp_mhsa_qkv_bias_masked_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -217,6 +217,57 @@ class TestExpMhsaMasked:
             np.asarray(jnp.concatenate([dq, dk, dv], axis=-1)),
             rtol=1e-4, atol=1e-6)
 
+    def test_qkv_bias_matches_prebias(self, rng):
+        """exp_mhsa_qkv_bias(qkv_raw, b) == exp_mhsa_qkv(qkv_raw + b):
+        the in-VMEM bias add is the same same-dtype math."""
+        from newsrecommendation_tpu.ops.pallas import (
+            exp_mhsa_qkv_bias,
+            exp_mhsa_qkv_bias_masked,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        qkv_raw = jnp.concatenate([q, k, v], axis=-1)
+        bias = jnp.asarray(rng.normal(size=(qkv_raw.shape[-1],))
+                           .astype(np.float32))
+        got = exp_mhsa_qkv_bias(qkv_raw, bias, 4)
+        want = exp_mhsa_qkv(qkv_raw + bias, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+        mask = jnp.asarray((rng.random((8, 10)) > 0.3).astype(np.float32))
+        got_m = exp_mhsa_qkv_bias_masked(qkv_raw, bias, mask, 4)
+        want_m = exp_mhsa_qkv_masked(qkv_raw + bias, mask, 4)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_qkv_bias_grads(self, rng):
+        """d(qkv_raw) and d(bias) of the bias-fused kernel match autodiff
+        of the unfused composition."""
+        from newsrecommendation_tpu.ops.pallas import (
+            exp_mhsa_qkv_bias_masked,
+        )
+
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        qkv_raw = jnp.concatenate([q, k, v], axis=-1)
+        bias = jnp.asarray(rng.normal(size=(qkv_raw.shape[-1],))
+                           .astype(np.float32))
+        mask = jnp.asarray((rng.random((8, 6)) > 0.4).astype(np.float32))
+
+        def loss_fused(qkv_raw, bias):
+            return jnp.sum(jnp.tanh(
+                exp_mhsa_qkv_bias_masked(qkv_raw, bias, mask, 3)))
+
+        def loss_ref(qkv_raw, bias):
+            return jnp.sum(jnp.tanh(
+                exp_mhsa_qkv_masked(qkv_raw + bias, mask, 3)))
+
+        dq_f, db_f = jax.grad(loss_fused, argnums=(0, 1))(qkv_raw, bias)
+        dq_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(qkv_raw, bias)
+        np.testing.assert_allclose(np.asarray(dq_f), np.asarray(dq_r),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_r),
+                                   rtol=1e-4, atol=1e-6)
+
     def test_mhsa_routes_masked_kernel(self, rng):
         from newsrecommendation_tpu.ops import (
             init_multi_head_self_attention,
