@@ -7,8 +7,20 @@ import jax.numpy as jnp
 
 
 def linear(params, x):
-    """x @ W + b with params {'w': (in, out), 'b': (out,)}."""
-    return jnp.matmul(x, params["w"].astype(x.dtype)) + params["b"].astype(x.dtype)
+    """x @ W + b with params {'w': (in, out), 'b': (out,)}.
+
+    >2-D inputs contract on the flattened-2D view: XLA gives a plain 2-D
+    dot a row-major output that bitcasts back to the n-D row-major shape,
+    where the batched 3-D formulation picks a batch-minor dot layout and
+    inserts full relayout copies of the activations (docs/PERF.md).
+    """
+    w = params["w"].astype(x.dtype)
+    b = params["b"].astype(x.dtype)
+    if x.ndim <= 2:
+        return jnp.matmul(x, w) + b
+    lead = x.shape[:-1]
+    y = jnp.matmul(x.reshape(-1, x.shape[-1]), w) + b
+    return y.reshape(*lead, w.shape[1])
 
 
 def dropout(key, x, rate: float, deterministic: bool):
