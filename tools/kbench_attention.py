@@ -73,15 +73,28 @@ def main():
         "blanes": jax.jit(lambda qkv: exp_mhsa_qkv_blanes(qkv, h)),
         "xla": jax.jit(xla_path),
     }
+
+    def resolve(name):
+        # "headloop@256" -> exp_mhsa_qkv with block_rows=256 (the backward
+        # kernel targets block_rows//2, so @256 doubles the bwd block)
+        if name not in variants and "@" in name:
+            base, br = name.split("@")
+            assert base == "headloop", name
+            variants[name] = jax.jit(
+                lambda qkv, br=int(br): exp_mhsa_qkv(qkv, h, br))
+        return variants[name]
+
     if args.grad:
         def as_grad(f):
             return jax.jit(jax.grad(lambda qkv: jnp.sum(jnp.tanh(
                 f(qkv).astype(jnp.float32)))))
-        variants = {name: as_grad(fn) for name, fn in variants.items()}
+    else:
+        def as_grad(f):
+            return f
 
     want = None
     for name in args.variants.split(","):
-        fn = variants[name]
+        fn = as_grad(resolve(name))
         # chain x -> f(x) padded back to qkv width to defeat memoization
         if args.grad:
             # dqkv already has qkv's shape; mix in x so values keep moving
