@@ -285,6 +285,26 @@ class _Handler(BaseHTTPRequestHandler):
         batcher = self.server.batcher  # type: ignore[attr-defined]
         try:
             req = self._read_json()
+            if self.path == "/reload":
+                # hot model/corpus swap: rebuild a Recommender from the
+                # (possibly updated) checkpoint + data dir and swap it into
+                # the batcher atomically — in-flight requests finish on the
+                # old model, later batches score on the new one
+                rebuild = getattr(self.server, "rebuild", None)
+                if rebuild is None:
+                    self._json(501, {"error": "no rebuild source configured "
+                                              "(server started from a live "
+                                              "Recommender, not a checkpoint)"})
+                    return
+                new_rec = rebuild()
+                new_rec.score(["warmup"], ["warmup"])  # pre-trace
+                batcher.rec = new_rec
+                self.server.rec = new_rec  # type: ignore[attr-defined]
+                self._json(200, {
+                    "status": "reloaded",
+                    "corpus_size": int(new_rec.news_scoring.shape[0]) - 1,
+                })
+                return
             history = req.get("history", [])
             if not isinstance(history, list):
                 raise ValueError("history must be a list of doc-id strings")
@@ -316,12 +336,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(rec, host: str = "127.0.0.1", port: int = 8000,
           max_batch: int = 64, max_delay_ms: float = 2.0,
-          warmup: bool = True) -> ThreadingHTTPServer:
+          warmup: bool = True, rebuild=None) -> ThreadingHTTPServer:
     """Start the HTTP recommender service; returns the (started) server.
 
     The caller owns shutdown: ``srv.shutdown(); srv.batcher.close()``.
     ``warmup=True`` pre-traces the smallest score bucket so the first real
-    request doesn't pay the XLA compile.
+    request doesn't pay the XLA compile. ``rebuild`` (optional zero-arg
+    callable returning a fresh Recommender) enables ``POST /reload`` hot
+    swaps.
     """
     batcher = BatchingScorer(rec, max_batch=max_batch,
                              max_delay_ms=max_delay_ms)
@@ -330,6 +352,7 @@ def serve(rec, host: str = "127.0.0.1", port: int = 8000,
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.rec = rec                    # type: ignore[attr-defined]
     srv.batcher = batcher            # type: ignore[attr-defined]
+    srv.rebuild = rebuild            # type: ignore[attr-defined]
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="newsrec-http")
     t.start()
@@ -348,6 +371,7 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None,
 
     from newsrecommendation_tpu.serve import Recommender
 
+    rebuild = None
     if state is not None and vocabs is not None:
         # fresh from run_train in the same process
         from newsrecommendation_tpu.data import build_news_features, read_news
@@ -360,20 +384,25 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None,
         rec = Recommender.from_state(cfg, state.params, corpus.news_index,
                                      feats)
     else:
-        from newsrecommendation_tpu.ckpt import latest_checkpoint
-        name = cfg.load_ckpt_name
-        if not name or name == "latest":
-            ckpt = latest_checkpoint(cfg.model_dir)  # full path or None
-            if ckpt is None:
-                raise ValueError(
-                    f"--mode serve: no checkpoint found in {cfg.model_dir}")
-        else:
-            ckpt = name if os.path.isabs(name) else os.path.join(
-                cfg.model_dir, name)
-        rec = Recommender.from_checkpoint(ckpt, cfg, cfg.test_data_dir)
+        def rebuild():
+            # re-resolved on every call so `--load_ckpt_name latest` +
+            # POST /reload picks up newly trained checkpoints
+            from newsrecommendation_tpu.ckpt import latest_checkpoint
+            name = cfg.load_ckpt_name
+            if not name or name == "latest":
+                ckpt = latest_checkpoint(cfg.model_dir)  # full path or None
+                if ckpt is None:
+                    raise ValueError(f"--mode serve: no checkpoint found "
+                                     f"in {cfg.model_dir}")
+            else:
+                ckpt = name if os.path.isabs(name) else os.path.join(
+                    cfg.model_dir, name)
+            return Recommender.from_checkpoint(ckpt, cfg, cfg.test_data_dir)
+
+        rec = rebuild()
     srv = serve(rec, host=cfg.serve_host, port=cfg.serve_port,
                 max_batch=cfg.serve_max_batch,
-                max_delay_ms=cfg.serve_max_delay_ms)
+                max_delay_ms=cfg.serve_max_delay_ms, rebuild=rebuild)
     if not block:
         return srv
     try:

@@ -220,14 +220,36 @@ def test_run_server_from_checkpoint(tmp_path):
     try:
         status, body = _get(srv, "/healthz")
         assert status == 200 and body["status"] == "ok"
-        doc = next(iter(read_news(f"{data_dir}/news.tsv", cfg,
-                                  "train").news_index))
+        docs = list(read_news(f"{data_dir}/news.tsv", cfg,
+                              "train").news_index)
+        hist, cands = docs[:2], docs[2:6]
         status, body = _post(srv, "/score",
-                             {"history": [doc], "candidates": [doc]})
-        assert status == 200 and len(body["scores"]) == 1
+                             {"history": hist, "candidates": cands})
+        assert status == 200 and len(body["scores"]) == 4
+        before = body["scores"]
+
+        # hot swap: newer checkpoint with different params; `latest`
+        # re-resolves on /reload
+        state2 = create_train_state(
+            cfg, model.init(jax.random.PRNGKey(7), cfg, table))
+        save_checkpoint(cfg.model_dir, "epoch-2.ckpt", state2, cfg,
+                        category_dict=corpus.category_dict,
+                        subcategory_dict=corpus.subcategory_dict,
+                        word_dict=corpus.word_dict)
+        status, body = _post(srv, "/reload", {})
+        assert status == 200 and body["status"] == "reloaded"
+        status, body = _post(srv, "/score",
+                             {"history": hist, "candidates": cands})
+        assert status == 200
+        assert not np.allclose(body["scores"], before)
     finally:
         srv.shutdown()
         srv.batcher.close()
+
+
+def test_reload_without_rebuild_source(http_srv):
+    status, body = _post(http_srv, "/reload", {})
+    assert status == 501 and "rebuild" in body["error"]
 
 
 def test_http_bad_requests(http_srv):
