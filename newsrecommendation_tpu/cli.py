@@ -238,6 +238,17 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
         int(results["samples_seen"]), 100 * results["auc"],
         100 * results["mrr"], 100 * results["ndcg5"], 100 * results["ndcg10"],
     )
+    if jax.process_index() == 0:
+        from newsrecommendation_tpu.utils.logging import MetricsLog
+        mlog = MetricsLog(os.path.join(cfg.model_dir, "metrics.jsonl"))
+        mlog.write("eval", samples=int(results["samples_seen"]),
+                   auc=round(100 * results["auc"], 4),
+                   mrr=round(100 * results["mrr"], 4),
+                   ndcg5=round(100 * results["ndcg5"], 4),
+                   ndcg10=round(100 * results["ndcg10"], 4),
+                   doc_sim=round(float(sim), 4),
+                   ckpt=cfg.load_ckpt_name)
+        mlog.close()
     return results
 
 

@@ -44,6 +44,13 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
     vocabs = vocabs or {}
     base_rng = jax.random.PRNGKey(cfg.seed)
 
+    mlog = None
+    if save_dir and jax.process_index() == 0:
+        import os
+
+        from newsrecommendation_tpu.utils.logging import MetricsLog
+        mlog = MetricsLog(os.path.join(save_dir, "metrics.jsonl"))
+
     total_examples = 0
     total_steps = 0
     t_start = None  # set after the first step so compile time is excluded
@@ -84,6 +91,10 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
                 "[%d] Ed: %d, train_loss: %.5f, acc: %.5f, ex/s: %.1f",
                 ep, cnt * cfg.batch_size, loss_v, acc_v, eps,
             )
+            if mlog is not None:
+                mlog.write("train", epoch=ep, step=cnt,
+                           loss=round(loss_v, 5), acc=round(acc_v, 5),
+                           examples_per_sec=round(eps, 1))
         if save_dir and cnt != 0 and cnt % cfg.save_steps == 0:
             save_checkpoint(save_dir, f"epoch-{ep + 1}-{cnt}.ckpt",
                             state, cfg, **vocabs)
@@ -149,4 +160,8 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
         "final_loss": float(metrics["loss"]),
         "final_acc": float(metrics["acc"]),
     }
+    if mlog is not None:
+        mlog.write("train_summary",
+                   **{k: round(float(v), 5) for k, v in stats.items()})
+        mlog.close()
     return state, stats
