@@ -96,6 +96,8 @@ class Config:
     serve_port: int = 8000
     serve_max_batch: int = 64      # micro-batching coalescing cap
     serve_max_delay_ms: float = 2.0  # max wait to fill a device batch
+    serve_scorer: str = "gather"   # "gather" | "dense" candidate scorer
+    serve_cache_dtype: str = "float32"  # "bfloat16" halves cache HBM traffic
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
@@ -129,6 +131,11 @@ class Config:
                 f"unknown embedding_backend {self.embedding_backend!r}")
         if self.tokenizer not in ("treebank", "regex"):
             raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
+        if self.serve_scorer not in ("gather", "dense"):
+            raise ValueError(f"unknown serve_scorer {self.serve_scorer!r}")
+        if self.serve_cache_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown serve_cache_dtype {self.serve_cache_dtype!r}")
         if self.steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, "
                              f"got {self.steps_per_call}")

@@ -397,7 +397,10 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None,
             else:
                 ckpt = name if os.path.isabs(name) else os.path.join(
                     cfg.model_dir, name)
-            return Recommender.from_checkpoint(ckpt, cfg, cfg.test_data_dir)
+            return Recommender.from_checkpoint(
+                ckpt, cfg, cfg.test_data_dir, scorer=cfg.serve_scorer,
+                cache_dtype=(None if cfg.serve_cache_dtype == "float32"
+                             else cfg.serve_cache_dtype))
 
         rec = rebuild()
     srv = serve(rec, host=cfg.serve_host, port=cfg.serve_port,

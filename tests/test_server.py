@@ -252,6 +252,20 @@ def test_reload_without_rebuild_source(http_srv):
     assert status == 501 and "rebuild" in body["error"]
 
 
+def test_bf16_cache_preserves_ranking(rec):
+    """serve_cache_dtype=bfloat16: scores agree to bf16 precision and the
+    induced ranking matches the f32 cache on a spread-out candidate set."""
+    rec16 = Recommender(rec.model, rec.params, rec.cfg, rec.news_index,
+                        rec.news_scoring, cache_dtype="bfloat16")
+    assert rec16.news_scoring.dtype.name == "bfloat16"
+    hist = ["N1", "N5", "N9"]
+    cands = [f"N{i}" for i in range(10, 40, 3)]
+    s32 = rec.score(hist, cands)
+    s16 = rec16.score(hist, cands)
+    np.testing.assert_allclose(s16, s32, rtol=0.05, atol=0.05)
+    assert rec16.rank(hist, cands) == rec.rank(hist, cands)
+
+
 def test_http_bad_requests(http_srv):
     status, body = _post(http_srv, "/score", {"history": ["N1"]})
     assert status == 400 and "candidates" in body["error"]
