@@ -134,15 +134,30 @@ class BatchingScorer:
 
     # ---- public API (thread-safe, blocking) ------------------------------
 
+    @property
+    def max_candidates(self) -> int:
+        return self.cand_buckets[-1]
+
     def score(self, history: Sequence[str],
               candidates: Sequence[str]) -> np.ndarray:
         """(len(candidates),) scores; blocks until the batch executes."""
-        req = _Request("score", history, candidates=list(candidates))
+        candidates = list(candidates)
+        if len(candidates) > self.max_candidates:
+            raise ValueError(
+                f"{len(candidates)} candidates exceeds the largest shape "
+                f"bucket ({self.max_candidates}); split the request")
+        req = _Request("score", history, candidates=candidates)
         return self._submit(req)
 
     def recommend(self, history: Sequence[str], k: int = 10):
         """(doc_ids, scores) top-k over the whole corpus."""
-        req = _Request("recommend", history, k=int(k))
+        k = int(k)
+        if k > self.k_buckets[-1]:
+            raise ValueError(f"k={k} exceeds the largest top-k bucket "
+                             f"({self.k_buckets[-1]})")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        req = _Request("recommend", history, k=k)
         return self._submit(req)
 
     def close(self):

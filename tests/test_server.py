@@ -274,3 +274,13 @@ def test_http_bad_requests(http_srv):
     assert status == 400
     status, body = _post(http_srv, "/nope", {})
     assert status == 404
+    # over-bucket requests are rejected, never silently truncated
+    status, body = _post(http_srv, "/score", {
+        "history": ["N1"], "candidates": [f"N{i}" for i in range(500)]})
+    assert status == 400 and "bucket" in body["error"]
+    status, body = _post(http_srv, "/recommend",
+                         {"history": ["N1"], "k": 4096})
+    assert status == 400 and "bucket" in body["error"]
+    status, body = _post(http_srv, "/recommend",
+                         {"history": ["N1"], "k": 0})
+    assert status == 400
