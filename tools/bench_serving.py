@@ -30,7 +30,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_recommender(num_news: int, seed: int = 0):
+def build_recommender(num_news: int, seed: int = 0, scorer: str = "gather",
+                      cache_dtype=None):
     import jax
 
     from newsrecommendation_tpu.config import Config
@@ -53,7 +54,8 @@ def build_recommender(num_news: int, seed: int = 0):
     feats[1:] = rng.integers(1, vocab,
                              size=(num_news, cfg.news_feature_width))
     news_index = {f"N{i}": i for i in range(1, num_news + 1)}
-    return Recommender.from_state(cfg, params, news_index, feats)
+    return Recommender.from_state(cfg, params, news_index, feats,
+                                  scorer=scorer, cache_dtype=cache_dtype)
 
 
 def run_clients(port: int, n_clients: int, n_requests: int, num_news: int,
@@ -118,6 +120,10 @@ def main():
     ap.add_argument("--max_delay_ms", type=float, default=2.0)
     ap.add_argument("--recommend_every", type=int, default=0,
                     help="every Nth request is a corpus-wide /recommend")
+    ap.add_argument("--scorer", default="gather",
+                    choices=("gather", "dense"))
+    ap.add_argument("--cache_dtype", default=None,
+                    choices=(None, "float32", "bfloat16"))
     args = ap.parse_args()
 
     import jax
@@ -131,7 +137,8 @@ def main():
 
     print(f"# building {args.num_news}-doc recommender "
           f"(backend={jax.default_backend()})", flush=True)
-    rec = build_recommender(args.num_news)
+    rec = build_recommender(args.num_news, scorer=args.scorer,
+                            cache_dtype=args.cache_dtype)
     srv = serve(rec, port=0, max_batch=args.max_batch,
                 max_delay_ms=args.max_delay_ms)
     port = srv.server_address[1]
