@@ -273,11 +273,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _json(self, code: int, payload: dict):
         body = json.dumps(payload).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            # client gave up while its batch was in flight — nothing to do
+            logging.debug("client disconnected before response")
 
     def _read_json(self) -> dict:
         n = int(self.headers.get("Content-Length", 0))
