@@ -49,8 +49,8 @@ class Recommender:
         # so this trades ~3 decimal digits of score precision for ~2x its
         # throughput (ranking ties at bf16 resolution are already
         # tie-broken arbitrarily by argsort).
-        self.news_scoring = jnp.asarray(news_scoring).astype(
-            cache_dtype or jnp.asarray(news_scoring).dtype)
+        cache = jnp.asarray(news_scoring)  # one host->device transfer
+        self.news_scoring = cache.astype(cache_dtype) if cache_dtype else cache
         if scorer not in ("gather", "dense"):
             raise ValueError(f"unknown scorer {scorer!r}")
         self._scorer = (score_cached_impressions if scorer == "gather"
@@ -170,11 +170,14 @@ class Recommender:
 
     def recommend_batch(self, histories: Sequence[Sequence[str]],
                         k: int = 10):
-        """Batched corpus-wide top-k: (List[List[doc_id]], (B, k) scores).
+        """Batched corpus-wide top-k: (ids, scores), each a list of B
+        aligned lists (id i goes with score i; the padding row 0 is
+        filtered from both).
 
         One dense (B, D) x (D, N) matmul + lax.top_k for the whole request
         batch — the serving-path shape the micro-batching server
-        (server.py) feeds."""
+        (server.py) feeds. k is clamped to the corpus size (top_k cannot
+        return more rows than exist)."""
         L = self.cfg.user_log_length
         b = len(histories)
         hist = np.zeros((b, L), np.int32)
@@ -183,9 +186,15 @@ class Recommender:
             row, m = pad_to_fix_len(trans_to_nindex(list(h),
                                                     self.news_index), L)
             hist[i], mask[i] = row, m
+        k = min(int(k), int(self.news_scoring.shape[0]))
         scores, idx = self._topk_jit(
-            self.params, jnp.asarray(hist), jnp.asarray(mask), int(k))
-        idx = np.asarray(idx)
-        ids = [[self._inv_index[int(i)] for i in row
-                if int(i) in self._inv_index] for row in idx]
-        return ids, np.asarray(scores)
+            self.params, jnp.asarray(hist), jnp.asarray(mask), k)
+        idx, scores = np.asarray(idx), np.asarray(scores)
+        ids_out, scores_out = [], []
+        for r_idx, r_sc in zip(idx, scores):
+            pairs = [(self._inv_index[int(i)], float(s))
+                     for i, s in zip(r_idx, r_sc)
+                     if int(i) in self._inv_index]
+            ids_out.append([p[0] for p in pairs])
+            scores_out.append([p[1] for p in pairs])
+        return ids_out, scores_out

@@ -168,13 +168,29 @@ class BatchingScorer:
         # unblock the worker's queue.get
         self._q.put(_Request("stop", []))
         self._worker.join(timeout=5)
+        # fail anything enqueued after the worker's own drain (the
+        # _submit liveness re-check unblocks those callers regardless,
+        # but deliver a clean error where possible)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req.kind != "stop":
+                req.error = RuntimeError("BatchingScorer closed")
+                req.done.set()
 
     def _submit(self, req: _Request):
         if self._stop.is_set():
             raise RuntimeError("BatchingScorer is closed")
         self.stats.record_request()
         self._q.put(req)
-        req.done.wait()
+        # periodic liveness re-check: a request enqueued in the window
+        # between close()'s stop flag and the worker's final drain would
+        # otherwise block its caller forever
+        while not req.done.wait(timeout=0.5):
+            if self._stop.is_set() and not self._worker.is_alive():
+                raise RuntimeError("BatchingScorer closed mid-request")
         if req.error is not None:
             raise req.error
         return req.result
@@ -264,9 +280,25 @@ class BatchingScorer:
             r.done.set()
 
 
+def _warm_buckets(rec, batcher: BatchingScorer) -> None:
+    """Pre-trace the batch tiers of the smallest candidate bucket on `rec`
+    so the first real requests (or the first after a /reload swap) don't
+    stall behind an XLA compile."""
+    c0 = batcher.cand_buckets[0]
+    rec.score_batch([["warmup"]], [["warmup"]], max_candidates=c0)
+    if batcher.max_batch > 1:
+        rec.score_batch([["warmup"]] * batcher.max_batch,
+                        [["warmup"]] * batcher.max_batch,
+                        max_candidates=c0)
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set by serve(): batcher, rec, started
     server_version = "newsrec-tpu/1.0"
+    # HTTP/1.1 keep-alive: without it every response closes the TCP
+    # connection and clients pay a reconnect per request (safe here:
+    # _json always sends Content-Length)
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logging.debug("http: " + fmt, *args)
@@ -319,7 +351,10 @@ class _Handler(BaseHTTPRequestHandler):
                                               "Recommender, not a checkpoint)"})
                     return
                 new_rec = rebuild()
-                new_rec.score(["warmup"], ["warmup"])  # pre-trace
+                # warm the shapes the batcher actually dispatches — a fresh
+                # Recommender's jit caches are empty, and a (1,1) trace
+                # would leave every real bucket to compile under load
+                _warm_buckets(new_rec, batcher)
                 batcher.rec = new_rec
                 self.server.rec = new_rec  # type: ignore[attr-defined]
                 self._json(200, {
@@ -332,8 +367,9 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("history must be a list of doc-id strings")
             if self.path == "/score":
                 candidates = req.get("candidates", [])
-                if not candidates:
-                    raise ValueError("candidates must be a non-empty list")
+                if not isinstance(candidates, list) or not candidates:
+                    raise ValueError("candidates must be a non-empty list "
+                                     "of doc-id strings")
                 scores = batcher.score(history, candidates)
                 order = np.argsort(-scores, kind="stable")
                 self._json(200, {
@@ -378,12 +414,8 @@ def serve(rec, host: str = "127.0.0.1", port: int = 8000,
     batcher = BatchingScorer(rec, max_batch=max_batch,
                              max_delay_ms=max_delay_ms)
     if warmup:
-        batcher.score(["warmup"], ["warmup"])  # batch tier 1
-        if batcher.max_batch > 1:
-            # batch tier max_batch, same candidate bucket
-            rec.score_batch([["warmup"]] * batcher.max_batch,
-                            [["warmup"]] * batcher.max_batch,
-                            max_candidates=batcher.cand_buckets[0])
+        _warm_buckets(rec, batcher)
+        batcher.score(["warmup"], ["warmup"])  # and the batcher path itself
     srv = _Server((host, port), _Handler)
     srv.rec = rec                    # type: ignore[attr-defined]
     srv.batcher = batcher            # type: ignore[attr-defined]
@@ -406,18 +438,31 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None,
 
     from newsrecommendation_tpu.serve import Recommender
 
+    serve_kw = dict(scorer=cfg.serve_scorer,
+                    cache_dtype=(None if cfg.serve_cache_dtype == "float32"
+                                 else cfg.serve_cache_dtype))
     rebuild = None
     if state is not None and vocabs is not None:
         # fresh from run_train in the same process
+        import jax.numpy as jnp
+
         from newsrecommendation_tpu.data import build_news_features, read_news
         from newsrecommendation_tpu.cli import build_embedding_table
         corpus = read_news(
             os.path.join(cfg.test_data_dir, "news.tsv"), cfg, "test",
             **vocabs)
-        table = build_embedding_table(cfg, cfg.test_data_dir, corpus)
+        params = state.params
+        if cfg.title_source == "doc_table":
+            # the frozen per-title table is corpus-specific: swap in the
+            # serving corpus's table (same move run_test makes,
+            # cli.py run_test)
+            params = dict(params)
+            params["embedding_table"] = jnp.asarray(
+                build_embedding_table(cfg, cfg.test_data_dir, corpus),
+                jnp.float32)
         feats = build_news_features(corpus, cfg)
-        rec = Recommender.from_state(cfg, state.params, corpus.news_index,
-                                     feats)
+        rec = Recommender.from_state(cfg, params, corpus.news_index,
+                                     feats, **serve_kw)
     else:
         def rebuild():
             # re-resolved on every call so `--load_ckpt_name latest` +
@@ -433,9 +478,7 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None,
                 ckpt = name if os.path.isabs(name) else os.path.join(
                     cfg.model_dir, name)
             return Recommender.from_checkpoint(
-                ckpt, cfg, cfg.test_data_dir, scorer=cfg.serve_scorer,
-                cache_dtype=(None if cfg.serve_cache_dtype == "float32"
-                             else cfg.serve_cache_dtype))
+                ckpt, cfg, cfg.test_data_dir, **serve_kw)
 
         rec = rebuild()
     srv = serve(rec, host=cfg.serve_host, port=cfg.serve_port,

@@ -58,9 +58,22 @@ def test_next_bucket():
 def test_recommend_batch_matches_single(rec):
     hists = [["N1", "N2"], ["N7"], ["N3", "N9", "N11"]]
     ids, scores = rec.recommend_batch(hists, k=5)
-    assert scores.shape == (3, 5)
+    assert len(ids) == len(scores) == 3
     for i, h in enumerate(hists):
         assert ids[i] == rec.recommend(h, k=5)
+        assert len(scores[i]) == len(ids[i]) == 5
+        # aligned and descending
+        assert scores[i] == sorted(scores[i], reverse=True)
+
+
+def test_recommend_k_clamped_to_corpus(rec):
+    """k beyond the corpus size returns every real doc once, with scores
+    aligned (the -inf padding row is filtered from both lists)."""
+    n_docs = len(rec.news_index)
+    ids, scores = rec.recommend_batch([["N1"]], k=n_docs + 1)
+    assert len(ids[0]) == len(scores[0]) == n_docs
+    assert len(set(ids[0])) == n_docs
+    assert all(np.isfinite(scores[0]))
 
 
 def test_batching_matches_direct(rec):
@@ -272,6 +285,10 @@ def test_http_bad_requests(http_srv):
     status, body = _post(http_srv, "/score",
                          {"history": "N1", "candidates": ["N2"]})
     assert status == 400
+    # a JSON string for candidates must 400, not be iterated per-character
+    status, body = _post(http_srv, "/score",
+                         {"history": ["N1"], "candidates": "N10"})
+    assert status == 400 and "list" in body["error"]
     status, body = _post(http_srv, "/nope", {})
     assert status == 404
     # over-bucket requests are rejected, never silently truncated

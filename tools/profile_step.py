@@ -87,8 +87,12 @@ def summarize(trace_dir, top=40):
     with open(paths[-1], "rb") as f:
         xs.ParseFromString(f.read())
     devs = [p for p in xs.planes if p.name.startswith("/device:")
-            and any(l.events for l in p.lines)]
-    assert devs, f"no device plane with events in {paths[-1]}"
+            and any(l.name == "XLA Ops" and l.events for l in p.lines)]
+    assert devs, (f"no device plane with an 'XLA Ops' line in {paths[-1]} "
+                  f"(planes: {[p.name for p in xs.planes]})")
+    if len(devs) > 1:
+        print(f"# {len(devs)} device planes; summarizing {devs[0].name} "
+              f"(others: {[p.name for p in devs[1:]]})")
     dev = devs[0]
     md = dev.event_metadata
     lines = {l.name: l for l in dev.lines}
