@@ -249,10 +249,14 @@ def main(argv=None):
     # NEWSREC_BENCH_BUDGET (seconds).
     budget = float(os.environ.get("NEWSREC_BENCH_BUDGET", 2400))
     t_start = time.perf_counter()
-    # rough per-config cost estimates (compile-dominated, fresh process;
-    # the NRMS step with the bias-fused kernels measured ~20 min of cold
-    # axon compile in profiling runs, so the headline reserve is generous)
-    EST_TRAIN, EST_QPS, EST_HEADLINE = 1000.0, 1100.0, 1300.0
+    # per-config cost estimates (compile-dominated, fresh process).
+    # MEASURED round 2: `bench.py --headline-only` cold = 2,280 s wall
+    # (~36 min of remote compile + run) with the bias-fused kernels, so
+    # the headline reserve equals that measurement — at the default
+    # budget the secondaries are skipped (their last values live in
+    # BASELINE.md) and the headline is guaranteed to land. Raise
+    # NEWSREC_BENCH_BUDGET to re-measure everything in one run.
+    EST_TRAIN, EST_QPS, EST_HEADLINE = 1000.0, 1100.0, 2300.0
 
     def have_time_for(est):
         spent = time.perf_counter() - t_start
