@@ -29,6 +29,10 @@ from newsrecommendation_tpu.ops.scoring import (
 )
 
 
+# Serving-cache row-padding granularity (see Recommender.__init__).
+_CACHE_ROW_BUCKET = 4096
+
+
 class Recommender:
     """Whole-corpus news-vector cache + jitted impression scorer.
 
@@ -49,14 +53,27 @@ class Recommender:
         # so this trades ~3 decimal digits of score precision for ~2x its
         # throughput (ranking ties at bf16 resolution are already
         # tie-broken arbitrarily by argsort).
-        cache = jnp.asarray(news_scoring)  # one host->device transfer
+        #
+        # The cache rows are padded up to a multiple of _CACHE_ROW_BUCKET
+        # with zero vectors so every jitted shape is stable across
+        # /reload swaps while the corpus grows within the bucket (a cold
+        # XLA compile on the remote TPU service costs minutes; 4096 extra
+        # 400-d rows cost ~6 MB). Padded rows are unreachable by doc-id
+        # (not in news_index) and masked to -inf for corpus-wide top-k.
+        cache = np.asarray(news_scoring)
+        self._real_rows = cache.shape[0]
+        pad = (-cache.shape[0]) % _CACHE_ROW_BUCKET
+        if pad:
+            cache = np.concatenate(
+                [cache, np.zeros((pad, cache.shape[1]), cache.dtype)])
+        cache = jnp.asarray(cache)  # one host->device transfer
         self.news_scoring = cache.astype(cache_dtype) if cache_dtype else cache
         if scorer not in ("gather", "dense"):
             raise ValueError(f"unknown scorer {scorer!r}")
         self._scorer = (score_cached_impressions if scorer == "gather"
                         else score_cached_impressions_dense)
         self._score_jit = jax.jit(self._score_impl)
-        self._topk_jit = jax.jit(self._topk_impl, static_argnums=(3,))
+        self._topk_jit = jax.jit(self._topk_impl, static_argnums=(4,))
         # idx -> doc_id for corpus-wide recommendation output
         self._inv_index = {v: k for k, v in news_index.items()}
 
@@ -110,13 +127,22 @@ class Recommender:
                                             hist_mask)
         return self._scorer(news_scoring, cand_idx, user_vecs)
 
-    def _topk_impl(self, params, hist_idx, hist_mask, k):
+    @property
+    def corpus_size(self) -> int:
+        """Number of real (addressable) news rows, excluding row 0."""
+        return self._real_rows - 1
+
+    def _topk_impl(self, params, real_rows, hist_idx, hist_mask, k):
         """Corpus-wide candidate generation: top-k news per user in one
-        dense matmul + lax.top_k (row 0 = unknown-news excluded)."""
+        dense matmul + lax.top_k. Row 0 (unknown news) and the zero
+        padding rows beyond `real_rows` (a traced scalar, so corpus
+        growth within the row bucket does not retrace) are masked out."""
         hist_vecs = jnp.take(self.news_scoring, hist_idx, axis=0)
         user_vecs = self.model.user_encoder(params, self.cfg, hist_vecs,
                                             hist_mask)
         scores = jnp.einsum("bd,nd->bn", user_vecs, self.news_scoring)
+        valid = jnp.arange(self.news_scoring.shape[0])[None, :] < real_rows
+        scores = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
         scores = scores.at[:, 0].set(-jnp.inf)
         return jax.lax.top_k(scores, k)
 
@@ -186,9 +212,10 @@ class Recommender:
             row, m = pad_to_fix_len(trans_to_nindex(list(h),
                                                     self.news_index), L)
             hist[i], mask[i] = row, m
-        k = min(int(k), int(self.news_scoring.shape[0]))
+        k = min(int(k), self._real_rows)
         scores, idx = self._topk_jit(
-            self.params, jnp.asarray(hist), jnp.asarray(mask), k)
+            self.params, jnp.asarray(self._real_rows, jnp.int32),
+            jnp.asarray(hist), jnp.asarray(mask), k)
         idx, scores = np.asarray(idx), np.asarray(scores)
         ids_out, scores_out = [], []
         for r_idx, r_sc in zip(idx, scores):

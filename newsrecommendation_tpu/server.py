@@ -327,7 +327,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {
                 "status": "ok",
                 "model": rec.cfg.model,
-                "corpus_size": int(rec.news_scoring.shape[0]) - 1,
+                "corpus_size": rec.corpus_size,
             })
         elif self.path == "/stats":
             self._json(200,
@@ -359,7 +359,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self.server.rec = new_rec  # type: ignore[attr-defined]
                 self._json(200, {
                     "status": "reloaded",
-                    "corpus_size": int(new_rec.news_scoring.shape[0]) - 1,
+                    "corpus_size": new_rec.corpus_size,
                 })
                 return
             history = req.get("history", [])

@@ -66,6 +66,26 @@ def test_recommend_batch_matches_single(rec):
         assert scores[i] == sorted(scores[i], reverse=True)
 
 
+def test_cache_rows_padded_to_bucket(rec):
+    """The serving cache pads its rows to a fixed bucket so corpus growth
+    within the bucket keeps every jitted shape stable across /reload."""
+    from newsrecommendation_tpu.serve import _CACHE_ROW_BUCKET
+
+    assert rec.news_scoring.shape[0] % _CACHE_ROW_BUCKET == 0
+    assert rec.corpus_size == len(rec.news_index)
+    # a differently-sized corpus within the bucket -> identical shapes
+    rng = np.random.default_rng(1)
+    feats2 = np.zeros((91, rec.cfg.news_feature_width), np.int32)
+    feats2[1:] = rng.integers(1, 200, size=(90, rec.cfg.news_feature_width))
+    rec2 = Recommender.from_state(rec.cfg, rec.params,
+                                  {f"M{i}": i for i in range(1, 91)}, feats2)
+    assert rec2.news_scoring.shape == rec.news_scoring.shape
+    # padded rows never surface in corpus-wide top-k
+    ids, scores = rec2.recommend_batch([["M1"]], k=90)
+    assert len(ids[0]) == 90 and all(np.isfinite(scores[0]))
+    assert all(i in rec2.news_index for i in ids[0])
+
+
 def test_recommend_k_clamped_to_corpus(rec):
     """k beyond the corpus size returns every real doc once, with scores
     aligned (the -inf padding row is filtered from both lists)."""
