@@ -60,8 +60,16 @@ class Recommender:
         # XLA compile on the remote TPU service costs minutes; 4096 extra
         # 400-d rows cost ~6 MB). Padded rows are unreachable by doc-id
         # (not in news_index) and masked to -inf for corpus-wide top-k.
+        # The real (addressable) row count comes from news_index, NOT the
+        # supplied array: a cache that was already bucket-padded (e.g. one
+        # lifted off another Recommender) would otherwise inflate
+        # _real_rows and let zero pad rows leak into corpus-wide top-k.
         cache = np.asarray(news_scoring)
-        self._real_rows = cache.shape[0]
+        self._real_rows = len(news_index) + 1  # + row 0 (unknown news)
+        if cache.shape[0] < self._real_rows:
+            raise ValueError(
+                f"news_scoring has {cache.shape[0]} rows but news_index "
+                f"addresses {self._real_rows} (incl. row 0)")
         pad = (-cache.shape[0]) % _CACHE_ROW_BUCKET
         if pad:
             cache = np.concatenate(
@@ -73,7 +81,7 @@ class Recommender:
         self._scorer = (score_cached_impressions if scorer == "gather"
                         else score_cached_impressions_dense)
         self._score_jit = jax.jit(self._score_impl)
-        self._topk_jit = jax.jit(self._topk_impl, static_argnums=(4,))
+        self._topk_jit = jax.jit(self._topk_impl, static_argnums=(5,))
         # idx -> doc_id for corpus-wide recommendation output
         self._inv_index = {v: k for k, v in news_index.items()}
 
@@ -132,16 +140,24 @@ class Recommender:
         """Number of real (addressable) news rows, excluding row 0."""
         return self._real_rows - 1
 
-    def _topk_impl(self, params, real_rows, hist_idx, hist_mask, k):
+    def _topk_impl(self, params, news_scoring, real_rows, hist_idx,
+                   hist_mask, k):
         """Corpus-wide candidate generation: top-k news per user in one
         dense matmul + lax.top_k. Row 0 (unknown news) and the zero
         padding rows beyond `real_rows` (a traced scalar, so corpus
-        growth within the row bucket does not retrace) are masked out."""
-        hist_vecs = jnp.take(self.news_scoring, hist_idx, axis=0)
+        growth within the row bucket does not retrace) are masked out.
+
+        news_scoring is an explicit jit argument (like _score_impl), not a
+        closure: closed over, every /reload's new cache values would bake
+        into the traced HLO as a constant — a different module per reload
+        (persistent compile cache can never hit, defeating the
+        _CACHE_ROW_BUCKET shape padding) with its own embedded copy of the
+        ~100 MB corpus cache per compiled (batch, k) bucket."""
+        hist_vecs = jnp.take(news_scoring, hist_idx, axis=0)
         user_vecs = self.model.user_encoder(params, self.cfg, hist_vecs,
                                             hist_mask)
-        scores = jnp.einsum("bd,nd->bn", user_vecs, self.news_scoring)
-        valid = jnp.arange(self.news_scoring.shape[0])[None, :] < real_rows
+        scores = jnp.einsum("bd,nd->bn", user_vecs, news_scoring)
+        valid = jnp.arange(news_scoring.shape[0])[None, :] < real_rows
         scores = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
         scores = scores.at[:, 0].set(-jnp.inf)
         return jax.lax.top_k(scores, k)
@@ -214,7 +230,8 @@ class Recommender:
             hist[i], mask[i] = row, m
         k = min(int(k), self._real_rows)
         scores, idx = self._topk_jit(
-            self.params, jnp.asarray(self._real_rows, jnp.int32),
+            self.params, self.news_scoring,
+            jnp.asarray(self._real_rows, jnp.int32),
             jnp.asarray(hist), jnp.asarray(mask), k)
         idx, scores = np.asarray(idx), np.asarray(scores)
         ids_out, scores_out = [], []

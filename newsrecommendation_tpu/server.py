@@ -281,15 +281,21 @@ class BatchingScorer:
 
 
 def _warm_buckets(rec, batcher: BatchingScorer) -> None:
-    """Pre-trace the batch tiers of the smallest candidate bucket on `rec`
-    so the first real requests (or the first after a /reload swap) don't
-    stall behind an XLA compile."""
+    """Pre-trace the batch tiers of the smallest candidate bucket AND the
+    smallest top-k bucket on `rec` so the first real /score or /recommend
+    (at startup or after a /reload swap) doesn't stall behind an XLA
+    compile inside the single BatchingScorer worker — a cold compile there
+    blocks all concurrent traffic for its duration."""
     c0 = batcher.cand_buckets[0]
     rec.score_batch([["warmup"]], [["warmup"]], max_candidates=c0)
     if batcher.max_batch > 1:
         rec.score_batch([["warmup"]] * batcher.max_batch,
                         [["warmup"]] * batcher.max_batch,
                         max_candidates=c0)
+    k0 = batcher.k_buckets[0]
+    rec.recommend_batch([["warmup"]], k=k0)
+    if batcher.max_batch > 1:
+        rec.recommend_batch([["warmup"]] * batcher.max_batch, k=k0)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -350,13 +356,25 @@ class _Handler(BaseHTTPRequestHandler):
                                               "(server started from a live "
                                               "Recommender, not a checkpoint)"})
                     return
-                new_rec = rebuild()
-                # warm the shapes the batcher actually dispatches — a fresh
-                # Recommender's jit caches are empty, and a (1,1) trace
-                # would leave every real bucket to compile under load
-                _warm_buckets(new_rec, batcher)
-                batcher.rec = new_rec
-                self.server.rec = new_rec  # type: ignore[attr-defined]
+                # serialize reloads: each one is a minutes-long checkpoint
+                # rebuild + warmup; concurrent requests would run duplicate
+                # rebuilds in parallel (duplicate HBM cache copies, thread
+                # contention). Non-blocking: the loser gets 409, not a wait.
+                lock = self.server.reload_lock  # type: ignore[attr-defined]
+                if not lock.acquire(blocking=False):
+                    self._json(409, {"error": "a reload is already in flight"})
+                    return
+                try:
+                    new_rec = rebuild()
+                    # warm the shapes the batcher actually dispatches — a
+                    # fresh Recommender's jit caches are empty, and a (1,1)
+                    # trace would leave every real bucket to compile under
+                    # load
+                    _warm_buckets(new_rec, batcher)
+                    batcher.rec = new_rec
+                    self.server.rec = new_rec  # type: ignore[attr-defined]
+                finally:
+                    lock.release()
                 self._json(200, {
                     "status": "reloaded",
                     "corpus_size": new_rec.corpus_size,
@@ -420,6 +438,15 @@ def serve(rec, host: str = "127.0.0.1", port: int = 8000,
     srv.rec = rec                    # type: ignore[attr-defined]
     srv.batcher = batcher            # type: ignore[attr-defined]
     srv.rebuild = rebuild            # type: ignore[attr-defined]
+    srv.reload_lock = threading.Lock()  # type: ignore[attr-defined]
+    if rebuild is not None and host not in ("127.0.0.1", "localhost", "::1"):
+        # POST /reload has no authentication: on a non-loopback bind any
+        # network peer can trigger model swaps / resource-exhaustion
+        # reloads. Put a reverse proxy with auth in front for such binds.
+        logging.warning(
+            "serving on non-loopback %s with /reload enabled — the reload "
+            "endpoint is unauthenticated; front it with an authenticating "
+            "proxy or bind to 127.0.0.1", host)
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="newsrec-http")
     t.start()

@@ -321,3 +321,32 @@ def test_http_bad_requests(http_srv):
     status, body = _post(http_srv, "/recommend",
                          {"history": ["N1"], "k": 0})
     assert status == 400
+
+
+def test_padded_cache_reuse_keeps_real_rows(rec):
+    """Constructing a Recommender from an ALREADY bucket-padded cache (as
+    the bf16/dense-scorer variants above do) must not inflate the real row
+    count: corpus_size comes from news_index, and corpus-wide top-k still
+    returns every real doc (pad rows never displace them)."""
+    rec2 = Recommender(rec.model, rec.params, rec.cfg, rec.news_index,
+                       rec.news_scoring)
+    assert rec2.corpus_size == len(rec.news_index) == rec.corpus_size
+    n = len(rec.news_index)
+    ids, scores = rec2.recommend_batch([["N1"]], k=n)
+    assert len(ids[0]) == n and len(set(ids[0])) == n
+
+
+def test_reload_conflict_returns_409(http_srv):
+    """While one reload is in flight, a second POST /reload is rejected
+    with 409 instead of running a duplicate minutes-long rebuild."""
+    http_srv.rebuild = lambda: (_ for _ in ()).throw(
+        AssertionError("must not rebuild while lock is held"))
+    try:
+        assert http_srv.reload_lock.acquire(blocking=False)
+        try:
+            status, body = _post(http_srv, "/reload", {})
+            assert status == 409 and "in flight" in body["error"]
+        finally:
+            http_srv.reload_lock.release()
+    finally:
+        http_srv.rebuild = None
