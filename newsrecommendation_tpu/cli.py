@@ -211,7 +211,16 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
         make_spmd_news_encoder(cfg, model, mesh, state)
         if (mesh is not None and cfg.table_shards > 1) else None
     )
-    news_scoring = compute_news_scoring(model, state.params, cfg,
+    eval_params = state.params
+    if jax.process_count() > 1 and cfg.table_shards == 1:
+        # Multi-controller, fully-replicated params: pull them to host once
+        # and run both eval phases as process-local programs (the corpus
+        # encode would otherwise mix global-mesh params with process-local
+        # feature chunks in one jit). With sharded tables the spmd
+        # encode_fn keeps phase 1 a lockstep global program instead — the
+        # corpus is identical on every process, so chunk counts agree.
+        eval_params = jax.tree_util.tree_map(np.asarray, state.params)
+    news_scoring = compute_news_scoring(model, eval_params, cfg,
                                         news_features, encode_fn=encode_fn)
     logging.info("news scoring num: %d", news_scoring.shape[0])
     sim = doc_sim_probe(news_scoring, num_pairs=1_000_000, seed=cfg.seed)
@@ -230,7 +239,7 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
         shard_path, corpus.news_index, cfg, max_candidates=cfg.max_candidates
     )
     results = evaluate_impressions(
-        model, state.params, cfg, eval_samples, news_scoring,
+        model, eval_params, cfg, eval_samples, news_scoring,
         log_every=cfg.log_steps, mesh=mesh,
     )
     logging.info(

@@ -168,12 +168,42 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
     (used by tests to check shard-combine math against a full run).
     """
     eval_step = make_eval_step(model, cfg)
-    news_scoring = jnp.asarray(news_scoring)
     batch_sharding = None
-    if mesh is not None:
+    if mesh is not None and jax.process_count() > 1:
+        # Multi-controller: every process evaluates its OWN impression shard
+        # (different line counts => different batch counts per process), so
+        # phase 2 must be a process-LOCAL program — a jit over the global
+        # mesh would be a cross-process collective requiring lockstep
+        # dispatch, and device_put cannot place host rows on another
+        # process's devices. Re-place the (replicated) user-encoder params
+        # and the news cache on this process's local mesh and shard batch
+        # rows over its local 'data' devices only. Found by
+        # tests/test_multiprocess.py — the live 2-process cluster test.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        local_mesh = mesh.local_mesh
+        # eval_step only reads params["user_encoder"] (phase 2 scores from
+        # the news cache, never the embedding table — which may be
+        # row-sharded across processes and thus not fetchable).
+        uparams = jax.tree_util.tree_map(np.asarray,
+                                         dict(params)["user_encoder"])
+        ns_host = np.asarray(news_scoring)
+        if cfg.eval_batch_size % local_mesh.shape["data"] == 0:
+            rep = NamedSharding(local_mesh, P())
+            params = jax.device_put({"user_encoder": uparams}, rep)
+            news_scoring = jax.device_put(ns_host, rep)
+            batch_sharding = NamedSharding(local_mesh, P("data"))
+        else:
+            params = {"user_encoder": jax.tree_util.tree_map(jnp.asarray,
+                                                             uparams)}
+            news_scoring = jnp.asarray(ns_host)
+    elif mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        news_scoring = jnp.asarray(news_scoring)
         batch_sharding = NamedSharding(mesh, P("data"))
+    else:
+        news_scoring = jnp.asarray(news_scoring)
     sums = {k: 0.0 for k in ("auc", "mrr", "ndcg5", "ndcg10", "count")}
     seen = 0
     for cnt, batch in enumerate(eval_samples.iter_batches(cfg.eval_batch_size)):

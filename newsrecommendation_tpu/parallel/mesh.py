@@ -88,6 +88,9 @@ def _put(mesh: Mesh, spec: P, v):
     Single-controller: plain device_put. Multi-controller: the host array
     is this process's LOCAL slice; assemble the global array from
     process-local data (each process feeds only its addressable shards).
+    Executed with process_count == 2 by tests/test_multiprocess.py (live
+    Gloo cluster), which asserts the assembled global batches train
+    identically to a single-process run.
     """
     s = NamedSharding(mesh, spec)
     if jax.process_count() > 1:
