@@ -71,7 +71,7 @@ def news_encoder(params, cfg, features, mask=None, *, rng=None,
         k1, k2 = jax.random.split(rng)
         word_vecs = dropout(k1, word_vecs, cfg.drop_rate, deterministic)
     # MHSA -> dropout -> pooling as ONE fused kernel on TPU (the context
-    # tensor never exists in HBM — ops/pallas/fused_encoder.py)
+    # tensor never exists in HBM — ops/pallas/experimental_fused_encoder.py)
     return mhsa_dropout_pool(
         p["mhsa"], p["attn"], word_vecs, mask,
         n_heads=cfg.num_attention_heads, drop_rate=cfg.drop_rate, rng=k2,

@@ -134,7 +134,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
     (NRMS.py:23-36 news path; NRMS.py:49-63 user path with drop_rate=0).
 
     On TPU with Pallas enabled this runs as ONE fused kernel
-    (ops/pallas/fused_encoder.py): the (B, S, H*d) context never exists in
+    (ops/pallas/experimental_fused_encoder.py): the (B, S, H*d) context never exists in
     HBM. Elsewhere it composes the individual ops with identical math.
     x: (B, S, d_model); mask: (B, S) over keys/positions or None.
     Returns (B, n_heads*d_v).
@@ -150,7 +150,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
         )
         if fused_tail_enabled(n_heads):
             qkv = qkv_raw + bias
-            from newsrecommendation_tpu.ops.pallas.fused_encoder import (
+            from newsrecommendation_tpu.ops.pallas.experimental_fused_encoder import (
                 exp_mhsa_pool,
                 exp_mhsa_pool_masked,
             )
@@ -237,7 +237,7 @@ def _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask=None, *, n_heads: int):
                     attention_layout,
                 )
                 if attention_layout() == "blanes":
-                    from newsrecommendation_tpu.ops.pallas.experimental import (
+                    from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
                         exp_mhsa_qkv_blanes,
                         exp_mhsa_qkv_blanes_masked,
                     )

@@ -6,7 +6,7 @@ from newsrecommendation_tpu.ops.pallas.fused_attention import (  # noqa: F401
     exp_mhsa_qkv_bias_masked,
     exp_mhsa_qkv_masked,
 )
-from newsrecommendation_tpu.ops.pallas.fused_encoder import (  # noqa: F401
+from newsrecommendation_tpu.ops.pallas.experimental_fused_encoder import (  # noqa: F401
     exp_mhsa_pool,
     exp_mhsa_pool_masked,
 )

@@ -35,7 +35,7 @@ def pallas_interpret() -> bool:
 
 
 # The fused encoder-tail kernel (MHSA+dropout+pool in one kernel,
-# ops/pallas/fused_encoder.py) is a documented EXPERIMENT, not a production
+# ops/pallas/experimental_fused_encoder.py) is a documented EXPERIMENT, not a production
 # path. Its Mosaic compile cost scales badly with the per-head unroll:
 # measured on TPU v5e at the bench config (20 heads x d=20, bf16), the
 # attention-only kernel compiles in ~140s but ONE fused-tail forward
@@ -77,7 +77,7 @@ def fused_tail_enabled(n_heads: int | None = None) -> bool:
 # In-kernel attention formulation for the fused-QKV kernels. "headloop"
 # (default) issues per-head bn-batched dots; "blanes" transposes each block
 # to batch-in-lanes and runs the contractions as VPU multiply-reduces
-# (ops/pallas/experimental.py). Switchable so hardware micro-benches can
+# (ops/pallas/experimental_blanes.py). Switchable so hardware micro-benches can
 # A/B the full train step.
 _ATTN_LAYOUT = "headloop"  # "headloop" | "blanes"
 
@@ -112,3 +112,28 @@ def set_flash_min_seq(t: int) -> None:
     if t < 1:
         raise ValueError(f"flash_min_seq must be >= 1, got {t}")
     _FLASH_MIN_SEQ = t
+
+
+# Residual strategy for the fused-QKV attention backward.
+#   "recompute" — backward re-derives scores/exp/normalize from qkv (no
+#                 extra HBM; 5 matmuls + the VPU normalize per head).
+#   "probs"     — forward (under differentiation only) additionally writes
+#                 the normalized f32 attention probs (N, T, H*T) to HBM;
+#                 backward loads them and skips the score matmul and the
+#                 exp/normalize entirely (4 matmuls, no transcendentals,
+#                 and no mask operand — the probs already carry it).
+#                 Bit-identical gradients: the saved probs are exactly the
+#                 values the recompute would re-derive.
+# The A/B lives in tools/kbench_attention.py / docs/PERF.md round 3.
+_BWD_RESIDUALS = "recompute"  # "recompute" | "probs"
+
+
+def set_bwd_residuals(mode: str) -> None:
+    global _BWD_RESIDUALS
+    if mode not in ("recompute", "probs"):
+        raise ValueError(f"unknown bwd_residuals mode {mode!r}")
+    _BWD_RESIDUALS = mode
+
+
+def bwd_residuals() -> str:
+    return _BWD_RESIDUALS

@@ -28,7 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from newsrecommendation_tpu.ops.pallas.config import pallas_interpret
+from newsrecommendation_tpu.ops.pallas.config import (
+    bwd_residuals,
+    pallas_interpret,
+)
 
 _EPS = 1e-8
 
@@ -194,7 +197,7 @@ def _masked_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
 
 
 def _qkv_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None,
-                    bias_ref=None):
+                    bias_ref=None, probs_ref=None):
     """Forward over FUSED qkv (BN, T, 3*H*D): head h's q/k/v live at lane
     offsets h*D, H*D + h*D, 2*H*D + h*D. Keeping the projection output fused
     means XLA never materializes separate q/k/v in HBM — the profile showed
@@ -228,12 +231,64 @@ def _qkv_fwd_kernel(qkv_ref, o_ref, *, n_heads, d_head, mask_ref=None,
             e = e * mask
         den = jnp.sum(e, axis=-1, keepdims=True) + _EPS * jnp.exp(-m)
         a = e / den
+        if probs_ref is not None:
+            t = a.shape[1]
+            probs_ref[:, :, h * t:(h + 1) * t] = a.astype(probs_ref.dtype)
         vh = qkv[:, :, v_sl]
         ctx = jax.lax.dot_general(
             a.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         o_ref[:, :, q_sl] = ctx.astype(o_ref.dtype)
+
+
+def _qkv_bwd_probs_kernel(qkv_ref, probs_ref, g_ref, dqkv_ref, *, n_heads,
+                          d_head, bias_ref=None):
+    """Backward from SAVED attention probs: no score matmul, no exp/
+    normalize, no mask operand (the probs already carry the mask — a
+    masked key's prob is exactly 0, so its ds contribution vanishes).
+    The probs are the f32 values the forward derived, so gradients are
+    bit-identical to the recompute kernel's. qkv (+bias) is still needed
+    for the biased q/k/v values in the dq/dk/dv matmuls."""
+    qkv = qkv_ref[...]
+    if bias_ref is not None:
+        qkv = qkv + bias_ref[...][None]
+    g = g_ref[...]
+    probs = probs_ref[...]
+    hd = n_heads * d_head
+    t = g.shape[1]
+    inv = 1.0 / math.sqrt(d_head)
+    for h in range(n_heads):
+        q_sl = slice(h * d_head, (h + 1) * d_head)
+        k_sl = slice(hd + h * d_head, hd + (h + 1) * d_head)
+        v_sl = slice(2 * hd + h * d_head, 2 * hd + (h + 1) * d_head)
+        qh = qkv[:, :, q_sl]
+        kh = qkv[:, :, k_sl]
+        vh = qkv[:, :, v_sl]
+        gh = g[:, :, q_sl]
+        a = probs[:, :, h * t:(h + 1) * t].astype(jnp.float32)
+        al = a.astype(gh.dtype)
+        dv = jax.lax.dot_general(
+            al, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        da = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (da - jnp.sum(da * a, axis=-1, keepdims=True)) * a * inv
+        dsl = ds.astype(kh.dtype)
+        dq = jax.lax.dot_general(
+            dsl, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            dsl, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, q_sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, k_sl] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, v_sl] = dv.astype(dqkv_ref.dtype)
 
 
 def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_heads, d_head,
@@ -314,14 +369,17 @@ _VMEM_BLOCK_BUDGET = 48 * 1024 * 1024
 
 
 def _capped_block_rows(n: int, target: int, t: int, w_in: int, w_out: int,
-                       itemsize: int) -> int:
+                       itemsize: int, extra_row_bytes: int = 0) -> int:
     """block_rows capped so the block's VMEM working set fits the budget.
 
     Per-row estimate: the input/output blocks at their dtype plus the f32
     intermediates the per-head loop materializes (scores (t, t) and the
     f32 context/grad accumulators, ~2x the output width).
+    extra_row_bytes: additional per-row block bytes (e.g. a saved-probs
+    operand/output) not covered by the base estimate.
     """
-    row_bytes = t * (w_in + w_out) * itemsize + 4 * t * (t + 2 * w_out)
+    row_bytes = (t * (w_in + w_out) * itemsize + 4 * t * (t + 2 * w_out)
+                 + extra_row_bytes)
     cap = max(_VMEM_BLOCK_BUDGET // max(row_bytes, 1), 8)
     return _block_rows(n, min(target, cap))
 
@@ -494,6 +552,127 @@ _QKV_BWD = {
 }
 
 
+def _qkv_fwd_probs_unmasked(qkv_ref, o_ref, p_ref, *, n_heads, d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    probs_ref=p_ref)
+
+
+def _qkv_fwd_probs_masked(qkv_ref, mask_ref, o_ref, p_ref, *, n_heads,
+                          d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    mask_ref=mask_ref, probs_ref=p_ref)
+
+
+def _qkv_fwd_probs_bias(qkv_ref, bias_ref, o_ref, p_ref, *, n_heads, d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    bias_ref=bias_ref, probs_ref=p_ref)
+
+
+def _qkv_fwd_probs_bias_masked(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *,
+                               n_heads, d_head):
+    _qkv_fwd_kernel(qkv_ref, o_ref, n_heads=n_heads, d_head=d_head,
+                    mask_ref=mask_ref, bias_ref=bias_ref, probs_ref=p_ref)
+
+
+_QKV_FWD_PROBS = {
+    (False, False): _qkv_fwd_probs_unmasked,
+    (False, True): _qkv_fwd_probs_masked,
+    (True, False): _qkv_fwd_probs_bias,
+    (True, True): _qkv_fwd_probs_bias_masked,
+}
+
+
+def _qkv_bwd_probs_nobias(qkv_ref, p_ref, g_ref, dqkv_ref, *, n_heads,
+                          d_head):
+    _qkv_bwd_probs_kernel(qkv_ref, p_ref, g_ref, dqkv_ref, n_heads=n_heads,
+                          d_head=d_head)
+
+
+def _qkv_bwd_probs_bias(qkv_ref, bias_ref, p_ref, g_ref, dqkv_ref, *,
+                        n_heads, d_head):
+    _qkv_bwd_probs_kernel(qkv_ref, p_ref, g_ref, dqkv_ref, n_heads=n_heads,
+                          d_head=d_head, bias_ref=bias_ref)
+
+
+def _qkv_fwd_probs_call(qkv, mask, n_heads, d_head, block_rows, bias=None):
+    """Forward that ALSO emits the f32 attention probs (N, T, H*T) —
+    head h's (T, T) prob block lives at lane slice [h*T, (h+1)*T)."""
+    n, t, w3 = qkv.shape
+    w1 = w3 // 3
+    wp = n_heads * t
+    bn = _capped_block_rows(n, block_rows, t, w3, w1, qkv.dtype.itemsize,
+                            extra_row_bytes=4 * t * wp)
+    qkv_spec, o_spec, m_spec, b_spec = _qkv_specs(n, t, w3, w1, bn)
+    p_spec = pl.BlockSpec((bn, t, wp), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _QKV_FWD_PROBS[(bias is not None, mask is not None)],
+        n_heads=n_heads, d_head=d_head)
+    in_specs, args = [qkv_spec], [qkv]
+    if bias is not None:
+        in_specs.append(b_spec)
+        args.append(bias.reshape(1, w3).astype(qkv.dtype))
+    if mask is not None:
+        in_specs.append(m_spec)
+        args.append(mask)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, t, w1), qkv.dtype),
+                   jax.ShapeDtypeStruct((n, t, wp), jnp.float32)),
+        grid=(n // bn,),
+        in_specs=in_specs,
+        out_specs=(o_spec, p_spec),
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * n_heads * t * t * d_head,
+            bytes_accessed=(qkv.size + n * t * w1) * qkv.dtype.itemsize
+            + 4 * n * t * wp,
+            transcendentals=n * n_heads * t * t,
+        ),
+    )(*args)
+
+
+def _qkv_bwd_probs_call(qkv, probs, g, n_heads, d_head, block_rows,
+                        bias=None):
+    n, t, w3 = qkv.shape
+    w1 = w3 // 3
+    wp = n_heads * t
+    bn = _capped_block_rows(n, max(block_rows // 2, 1), t, 2 * w3 + w1, w1,
+                            qkv.dtype.itemsize, extra_row_bytes=4 * t * wp)
+    qkv_spec, o_spec, m_spec, b_spec = _qkv_specs(n, t, w3, w1, bn)
+    p_spec = pl.BlockSpec((bn, t, wp), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _qkv_bwd_probs_bias if bias is not None else _qkv_bwd_probs_nobias,
+        n_heads=n_heads, d_head=d_head)
+    in_specs, args = [qkv_spec], [qkv]
+    if bias is not None:
+        in_specs.append(b_spec)
+        args.append(bias.reshape(1, w3).astype(qkv.dtype))
+    in_specs.extend([p_spec, o_spec])
+    args.extend([probs, g])
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        grid=(n // bn,),
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * n_heads * t * t * d_head,
+            bytes_accessed=(2 * qkv.size + 2 * n * t * w1)
+            * qkv.dtype.itemsize + 4 * n * t * wp,
+            transcendentals=0,
+        ),
+    )(*args)
+
+
 def _qkv_fwd_call(qkv, mask, n_heads, d_head, block_rows, bias=None):
     n, t, w3 = qkv.shape
     w1 = w3 // 3
@@ -575,12 +754,19 @@ def exp_mhsa_qkv(qkv, n_heads: int, block_rows: int = 128):
 
 def _exp_mhsa_qkv_fwd(qkv, n_heads, block_rows):
     d_head = qkv.shape[-1] // (3 * n_heads)
-    return _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows), (qkv,)
+    if bwd_residuals() == "probs":
+        out, probs = _qkv_fwd_probs_call(qkv, None, n_heads, d_head,
+                                         block_rows)
+        return out, (qkv, probs)
+    return _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows), (qkv, None)
 
 
 def _exp_mhsa_qkv_bwd(n_heads, block_rows, res, g):
-    (qkv,) = res
+    qkv, probs = res
     d_head = qkv.shape[-1] // (3 * n_heads)
+    if probs is not None:
+        return (_qkv_bwd_probs_call(qkv, probs, g.astype(qkv.dtype), n_heads,
+                                    d_head, block_rows),)
     return (_qkv_bwd_call(qkv, None, g.astype(qkv.dtype), n_heads, d_head,
                           block_rows),)
 
@@ -597,15 +783,25 @@ def exp_mhsa_qkv_masked(qkv, key_mask, n_heads: int, block_rows: int = 128):
 
 def _exp_mhsa_qkv_masked_fwd(qkv, key_mask, n_heads, block_rows):
     d_head = qkv.shape[-1] // (3 * n_heads)
+    if bwd_residuals() == "probs":
+        out, probs = _qkv_fwd_probs_call(qkv, key_mask, n_heads, d_head,
+                                         block_rows)
+        return out, (qkv, key_mask, probs)
     out = _qkv_fwd_call(qkv, key_mask, n_heads, d_head, block_rows)
-    return out, (qkv, key_mask)
+    return out, (qkv, key_mask, None)
 
 
 def _exp_mhsa_qkv_masked_bwd(n_heads, block_rows, res, g):
-    qkv, key_mask = res
+    qkv, key_mask, probs = res
     d_head = qkv.shape[-1] // (3 * n_heads)
-    dqkv = _qkv_bwd_call(qkv, key_mask, g.astype(qkv.dtype), n_heads, d_head,
-                         block_rows)
+    if probs is not None:
+        # the probs carry the mask (masked keys have prob 0) — the
+        # backward needs no mask operand at all
+        dqkv = _qkv_bwd_probs_call(qkv, probs, g.astype(qkv.dtype), n_heads,
+                                   d_head, block_rows)
+    else:
+        dqkv = _qkv_bwd_call(qkv, key_mask, g.astype(qkv.dtype), n_heads,
+                             d_head, block_rows)
     return dqkv, jnp.zeros_like(key_mask)
 
 
@@ -629,15 +825,23 @@ def exp_mhsa_qkv_bias(qkv, bias, n_heads: int, block_rows: int = 128):
 
 def _exp_mhsa_qkv_bias_fwd(qkv, bias, n_heads, block_rows):
     d_head = qkv.shape[-1] // (3 * n_heads)
+    if bwd_residuals() == "probs":
+        out, probs = _qkv_fwd_probs_call(qkv, None, n_heads, d_head,
+                                         block_rows, bias=bias)
+        return out, (qkv, bias, probs)
     out = _qkv_fwd_call(qkv, None, n_heads, d_head, block_rows, bias=bias)
-    return out, (qkv, bias)
+    return out, (qkv, bias, None)
 
 
 def _exp_mhsa_qkv_bias_bwd(n_heads, block_rows, res, g):
-    qkv, bias = res
+    qkv, bias, probs = res
     d_head = qkv.shape[-1] // (3 * n_heads)
-    dqkv = _qkv_bwd_call(qkv, None, g.astype(qkv.dtype), n_heads, d_head,
-                         block_rows, bias=bias)
+    if probs is not None:
+        dqkv = _qkv_bwd_probs_call(qkv, probs, g.astype(qkv.dtype), n_heads,
+                                   d_head, block_rows, bias=bias)
+    else:
+        dqkv = _qkv_bwd_call(qkv, None, g.astype(qkv.dtype), n_heads, d_head,
+                             block_rows, bias=bias)
     dbias = jnp.sum(dqkv, axis=(0, 1)).astype(bias.dtype)
     return dqkv, dbias
 
@@ -656,15 +860,23 @@ def exp_mhsa_qkv_bias_masked(qkv, bias, key_mask, n_heads: int,
 
 def _exp_mhsa_qkv_bias_masked_fwd(qkv, bias, key_mask, n_heads, block_rows):
     d_head = qkv.shape[-1] // (3 * n_heads)
+    if bwd_residuals() == "probs":
+        out, probs = _qkv_fwd_probs_call(qkv, key_mask, n_heads, d_head,
+                                         block_rows, bias=bias)
+        return out, (qkv, bias, key_mask, probs)
     out = _qkv_fwd_call(qkv, key_mask, n_heads, d_head, block_rows, bias=bias)
-    return out, (qkv, bias, key_mask)
+    return out, (qkv, bias, key_mask, None)
 
 
 def _exp_mhsa_qkv_bias_masked_bwd(n_heads, block_rows, res, g):
-    qkv, bias, key_mask = res
+    qkv, bias, key_mask, probs = res
     d_head = qkv.shape[-1] // (3 * n_heads)
-    dqkv = _qkv_bwd_call(qkv, key_mask, g.astype(qkv.dtype), n_heads, d_head,
-                         block_rows, bias=bias)
+    if probs is not None:
+        dqkv = _qkv_bwd_probs_call(qkv, probs, g.astype(qkv.dtype), n_heads,
+                                   d_head, block_rows, bias=bias)
+    else:
+        dqkv = _qkv_bwd_call(qkv, key_mask, g.astype(qkv.dtype), n_heads,
+                             d_head, block_rows, bias=bias)
     dbias = jnp.sum(dqkv, axis=(0, 1)).astype(bias.dtype)
     return dqkv, dbias, jnp.zeros_like(key_mask)
 

@@ -577,7 +577,7 @@ class TestBlanesExperimental:
         return np.random.default_rng(11)
 
     def test_forward_matches_qkv(self, rng):
-        from newsrecommendation_tpu.ops.pallas.experimental import (
+        from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
             exp_mhsa_qkv_blanes,
         )
 
@@ -589,7 +589,7 @@ class TestBlanesExperimental:
                                    rtol=1e-5, atol=1e-6)
 
     def test_masked_forward_matches_qkv(self, rng):
-        from newsrecommendation_tpu.ops.pallas.experimental import (
+        from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
             exp_mhsa_qkv_blanes_masked,
         )
 
@@ -602,7 +602,7 @@ class TestBlanesExperimental:
                                    rtol=1e-5, atol=1e-6)
 
     def test_grads_match_qkv(self, rng):
-        from newsrecommendation_tpu.ops.pallas.experimental import (
+        from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
             exp_mhsa_qkv_blanes_masked,
         )
 
@@ -622,7 +622,7 @@ class TestBlanesExperimental:
             rtol=1e-4, atol=1e-6)
 
     def test_unmasked_grads_match_qkv(self, rng):
-        from newsrecommendation_tpu.ops.pallas.experimental import (
+        from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
             exp_mhsa_qkv_blanes,
         )
 
@@ -645,7 +645,7 @@ class TestBlanesExperimental:
         before the value/key/query contractions (f32 accumulate), so bf16
         layout A/Bs agree to bf16 rounding — mirrors
         TestExpMhsaForward.test_bf16_matches_f32_reference."""
-        from newsrecommendation_tpu.ops.pallas.experimental import (
+        from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
             exp_mhsa_qkv_blanes_masked,
         )
 
@@ -798,3 +798,93 @@ class TestFlashDispatch:
             set_flash_min_seq(old)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestProbsResiduals:
+    """bwd_residuals="probs": the forward saves the f32 attention probs and
+    the backward skips the score/exp/normalize recompute (and needs no
+    mask). Gradients must be IDENTICAL to recompute mode — the saved probs
+    are exactly the values the recompute re-derives."""
+
+    @pytest.fixture(autouse=True)
+    def _probs_mode(self):
+        from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
+        set_bwd_residuals("probs")
+        yield
+        set_bwd_residuals("recompute")
+
+    def _grads(self, loss, *args):
+        return jax.grad(loss)(*args)
+
+    def test_qkv_grads_match_recompute(self, rng):
+        from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
+
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+
+        def loss(x):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv(x, 3)))
+
+        d_probs = jax.grad(loss)(qkv)
+        set_bwd_residuals("recompute")
+        d_rec = jax.grad(loss)(qkv)
+        np.testing.assert_allclose(np.asarray(d_probs), np.asarray(d_rec),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_qkv_masked_grads_match_recompute(self, rng):
+        from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
+
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        mask = jnp.asarray((rng.random((8, 6)) > 0.4).astype(np.float32))
+        mask = mask.at[0].set(0.0)  # one fully-masked row
+
+        def loss(x):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_masked(x, mask, 3)))
+
+        d_probs = jax.grad(loss)(qkv)
+        set_bwd_residuals("recompute")
+        d_rec = jax.grad(loss)(qkv)
+        np.testing.assert_allclose(np.asarray(d_probs), np.asarray(d_rec),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_qkv_bias_masked_grads_match_recompute(self, rng):
+        from newsrecommendation_tpu.ops.pallas import (
+            exp_mhsa_qkv_bias,
+            exp_mhsa_qkv_bias_masked,
+        )
+        from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
+
+        q, k, v = make_qkv(rng, n=8, t=6, heads=3, d=4)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        bias = jnp.asarray(rng.normal(size=(qkv.shape[-1],))
+                           .astype(np.float32))
+        mask = jnp.asarray((rng.random((8, 6)) > 0.4).astype(np.float32))
+
+        def loss_m(x, b):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_bias_masked(x, b, mask, 3)))
+
+        def loss_u(x, b):
+            return jnp.sum(jnp.tanh(exp_mhsa_qkv_bias(x, b, 3)))
+
+        got = [jax.grad(f, argnums=(0, 1))(qkv, bias)
+               for f in (loss_m, loss_u)]
+        set_bwd_residuals("recompute")
+        want = [jax.grad(f, argnums=(0, 1))(qkv, bias)
+                for f in (loss_m, loss_u)]
+        for (gx, gb), (wx, wb) in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(wb),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_forward_value_unchanged(self, rng):
+        """The probs-saving forward's primary output equals the plain one."""
+        q, k, v = make_qkv(rng, n=8, t=10, heads=4, d=8)
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        # primal call (no differentiation) never saves probs; grad path does
+        out_primal = exp_mhsa_qkv(qkv, 4)
+        out_vjp, _ = jax.vjp(lambda x: exp_mhsa_qkv(x, 4), qkv)
+        np.testing.assert_allclose(np.asarray(out_vjp),
+                                   np.asarray(out_primal),
+                                   rtol=1e-6, atol=1e-7)

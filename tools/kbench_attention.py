@@ -47,7 +47,7 @@ def main():
 
     from newsrecommendation_tpu.ops import attention as A
     from newsrecommendation_tpu.ops.pallas import exp_mhsa_qkv
-    from newsrecommendation_tpu.ops.pallas.experimental import (
+    from newsrecommendation_tpu.ops.pallas.experimental_blanes import (
         exp_mhsa_qkv_blanes,
     )
 
@@ -76,12 +76,16 @@ def main():
 
     def resolve(name):
         # "headloop@256" -> exp_mhsa_qkv with block_rows=256 (the backward
-        # kernel targets block_rows//2, so @256 doubles the bwd block)
-        if name not in variants and "@" in name:
-            base, br = name.split("@")
-            assert base == "headloop", name
+        # kernel targets block_rows//2, so @256 doubles the bwd block).
+        # "probs[@N]" -> same entry point with bwd_residuals="probs" (the
+        # residual-mode switch is applied per-variant in the main loop at
+        # trace time; only meaningful with --grad).
+        if name not in variants:
+            base, _, br = name.partition("@")
+            br = int(br) if br else 128
+            assert base in ("headloop", "probs"), name
             variants[name] = jax.jit(
-                lambda qkv, br=int(br): exp_mhsa_qkv(qkv, h, br))
+                lambda qkv, br=br: exp_mhsa_qkv(qkv, h, br))
         return variants[name]
 
     if args.grad:
@@ -92,8 +96,13 @@ def main():
         def as_grad(f):
             return f
 
+    from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
+
     want = None
     for name in args.variants.split(","):
+        # residual mode is read at trace time inside the custom-VJP rules
+        set_bwd_residuals("probs" if name.startswith("probs")
+                          else "recompute")
         fn = as_grad(resolve(name))
         # chain x -> f(x) padded back to qkv width to defeat memoization
         if args.grad:
