@@ -124,6 +124,12 @@ def main():
                     choices=("gather", "dense"))
     ap.add_argument("--cache_dtype", default=None,
                     choices=(None, "float32", "bfloat16"))
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated delay_ms:max_batch:clients "
+                         "triples, e.g. 2:64:64,5:64:64,10:128:128 — runs "
+                         "each config against ONE shared recommender "
+                         "(jit caches reused) and prints one JSON line per "
+                         "config")
     args = ap.parse_args()
 
     import jax
@@ -139,21 +145,37 @@ def main():
           f"(backend={jax.default_backend()})", flush=True)
     rec = build_recommender(args.num_news, scorer=args.scorer,
                             cache_dtype=args.cache_dtype)
-    srv = serve(rec, port=0, max_batch=args.max_batch,
-                max_delay_ms=args.max_delay_ms)
+
+    if args.sweep:
+        configs = []
+        for spec in args.sweep.split(","):
+            d, mb, cl = spec.split(":")
+            configs.append((float(d), int(mb), int(cl)))
+        for delay_ms, max_batch, clients in configs:
+            _run_one(rec, args, serve, delay_ms, max_batch, clients)
+        return
+
+    _run_one(rec, args, serve, args.max_delay_ms, args.max_batch,
+             args.clients)
+
+
+def _run_one(rec, args, serve, max_delay_ms, max_batch, clients):
+    srv = serve(rec, port=0, max_batch=max_batch,
+                max_delay_ms=max_delay_ms)
     port = srv.server_address[1]
 
     # warm every bucket the load will hit (client count caps the batch)
     print("# warming shape buckets", flush=True)
-    warm, _, werr = run_clients(port, min(args.clients, 8), 2,
+    warm, _, werr = run_clients(port, min(clients, 8), 2,
                                 args.num_news, args.candidates,
                                 args.recommend_every)
     if werr:
         print(f"# warmup errors: {werr[:3]}", file=sys.stderr)
 
-    print(f"# load: {args.clients} clients x {args.requests} requests",
+    print(f"# load: {clients} clients x {args.requests} requests "
+          f"(max_delay {max_delay_ms} ms, max_batch {max_batch})",
           flush=True)
-    wall, lat, errors = run_clients(port, args.clients, args.requests,
+    wall, lat, errors = run_clients(port, clients, args.requests,
                                     args.num_news, args.candidates,
                                     args.recommend_every)
     stats = srv.batcher.stats.snapshot()
@@ -167,7 +189,9 @@ def main():
         "value": round(n / wall, 1),
         "unit": "requests/s",
         "detail": {
-            "clients": args.clients,
+            "clients": clients,
+            "max_delay_ms": max_delay_ms,
+            "max_batch_cfg": max_batch,
             "candidates": args.candidates,
             "corpus": args.num_news,
             "p50_ms": round(float(lat[n // 2]), 1) if n else None,
