@@ -282,12 +282,14 @@ def main(argv=None):
     # parsed but never applied).
     from newsrecommendation_tpu.ops.pallas.config import (
         set_attention_layout,
+        set_bwd_residuals,
         set_fused_tail,
         set_pallas_mode,
     )
     set_pallas_mode(cfg.use_pallas)
     set_fused_tail(cfg.fused_tail)
     set_attention_layout(cfg.attention_layout)
+    set_bwd_residuals(cfg.bwd_residuals)
     if cfg.debug_nans:
         # fail fast with a traceback at the first NaN/Inf anywhere in the
         # jitted step — the sanitizer mode the reference lacks (SURVEY §5)

@@ -91,6 +91,11 @@ class Config:
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
     fused_tail: str = "auto"  # "auto" | "on" | "off" — fused MHSA+pool kernel
     attention_layout: str = "headloop"  # "headloop" | "blanes" in-kernel layout
+    # Attention-backward residuals: "recompute" re-derives the scores in the
+    # bwd kernel; "probs" (default) saves the f32 attention probs in the fwd
+    # and skips the recompute (bit-identical grads, measured faster —
+    # docs/PERF.md round 3).
+    bwd_residuals: str = "probs"
     # ---- serving (--mode serve; server.py) ---------------------------------
     serve_host: str = "127.0.0.1"
     serve_port: int = 8000
@@ -126,6 +131,9 @@ class Config:
         if self.attention_layout not in ("headloop", "blanes"):
             raise ValueError(
                 f"unknown attention_layout {self.attention_layout!r}")
+        if self.bwd_residuals not in ("recompute", "probs"):
+            raise ValueError(
+                f"unknown bwd_residuals {self.bwd_residuals!r}")
         if self.embedding_backend not in ("bpemb", "bert", "hash"):
             raise ValueError(
                 f"unknown embedding_backend {self.embedding_backend!r}")

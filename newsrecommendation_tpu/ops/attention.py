@@ -250,11 +250,15 @@ def _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask=None, *, n_heads: int):
                     exp_mhsa_qkv_bias,
                     exp_mhsa_qkv_bias_masked,
                 )
+                from newsrecommendation_tpu.ops.pallas.config import (
+                    qkv_block_rows,
+                )
+                br = qkv_block_rows()
                 if mask is None:
-                    return exp_mhsa_qkv_bias(qkv_raw, bias, n_heads)
+                    return exp_mhsa_qkv_bias(qkv_raw, bias, n_heads, br)
                 return exp_mhsa_qkv_bias_masked(qkv_raw, bias,
                                                 mask.astype(jnp.float32),
-                                                n_heads)
+                                                n_heads, br)
             qkv = qkv_raw + bias
             if mask is None:
                 from newsrecommendation_tpu.ops.pallas import exp_mhsa

@@ -124,8 +124,10 @@ def set_flash_min_seq(t: int) -> None:
 #                 and no mask operand — the probs already carry it).
 #                 Bit-identical gradients: the saved probs are exactly the
 #                 values the recompute would re-derive.
-# The A/B lives in tools/kbench_attention.py / docs/PERF.md round 3.
-_BWD_RESIDUALS = "recompute"  # "recompute" | "probs"
+# The A/B lives in tools/kbench_attention.py / docs/PERF.md round 3:
+# probs 22.302 ms vs recompute 22.560 ms (fwd+bwd harness, bf16, N=7040),
+# identical gradients — probs is the default.
+_BWD_RESIDUALS = "probs"  # "recompute" | "probs"
 
 
 def set_bwd_residuals(mode: str) -> None:
@@ -137,3 +139,23 @@ def set_bwd_residuals(mode: str) -> None:
 
 def bwd_residuals() -> str:
     return _BWD_RESIDUALS
+
+
+# Row-block target for the fused-QKV kernels (the backward targets half of
+# this). 256 measured ~4% faster than 128 at the production shape
+# (kbench: probs@256 21.405 ms vs probs@128 22.302; headloop@256 21.66 in
+# round 2) at the cost of roughly doubled Mosaic lowering time — flip to
+# 128 with set_qkv_block_rows when cold-compile latency matters more than
+# steady-state step time.
+_QKV_BLOCK_ROWS = 256
+
+
+def qkv_block_rows() -> int:
+    return _QKV_BLOCK_ROWS
+
+
+def set_qkv_block_rows(n: int) -> None:
+    global _QKV_BLOCK_ROWS
+    if n < 8:
+        raise ValueError(f"qkv block_rows must be >= 8, got {n}")
+    _QKV_BLOCK_ROWS = n

@@ -88,12 +88,34 @@ def main():
         lookup_oh.defvjp(_oh_fwd, _oh_bwd)
         return lookup_oh
 
+    # bf16 scatter: the kernels already hand back bf16 row grads (bf16
+    # activations); scattering at bf16 halves the scatter's HBM bytes and
+    # skips the up-front f32 conversion of 140,800 rows, converting the
+    # (V, D) result once instead. Accumulation precision: collisions
+    # average ~4.7 rows/slot at this shape, bf16 sum loses ~3 decimal
+    # digits — Adam's 3e-4 lr and f32 moments absorb it (A/B'd for the
+    # parity configs before any default flip).
+    @jax.custom_vjp
+    def lookup_bf16scatter(t, ids):
+        return jnp.take(t, ids, axis=0)
+
+    def _b16_fwd(t, ids):
+        return jnp.take(t, ids, axis=0), (ids, t.shape[0])
+
+    def _b16_bwd(res, gy):
+        ids, V = res
+        dt = jnp.zeros((V, gy.shape[-1]), jnp.bfloat16).at[ids].add(
+            gy.astype(jnp.bfloat16))
+        return dt.astype(jnp.float32), None
+    lookup_bf16scatter.defvjp(_b16_fwd, _b16_bwd)
+
     # onehot variants dropped: one_hot(ids, V) at N=140800, V=30000 is a
     # 4.2e9-element intermediate (~17 GB f32) — infeasible at this shape.
     variants = {
         "take": take,
         "sorted": lookup_sorted,
         "segsum": lookup_segsum,
+        "take_bf16": lookup_bf16scatter,
     }
 
     # pre-staged id rotations (device arrays): eager per-iteration id math

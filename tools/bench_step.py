@@ -129,15 +129,19 @@ def main():
     for label, over in [
         ("f32", {}),
         ("bf16", {"compute_dtype": "bfloat16"}),
+        ("bf16 probs", {"compute_dtype": "bfloat16",
+                        "bwd_residuals": "probs"}),
         ("f32 no-pallas", {"use_pallas": "off"}),
         ("bf16 no-pallas", {"compute_dtype": "bfloat16", "use_pallas": "off"}),
     ]:
         if label not in wanted:
             continue
         from newsrecommendation_tpu.ops.pallas import set_pallas_mode
+        from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
         set_pallas_mode(over.pop("use_pallas", "auto"))
-        bench_variant(label, Config(**{**base, **over}), iters=args.iters,
-                      scan_k=args.scan)
+        cfg = Config(**{**base, **over})
+        set_bwd_residuals(cfg.bwd_residuals)
+        bench_variant(label, cfg, iters=args.iters, scan_k=args.scan)
 
 
 if __name__ == "__main__":
