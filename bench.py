@@ -101,18 +101,20 @@ def naml_forward_flops(cfg) -> float:
 # value: the committed full-suite artifact named in "from".
 LAST_KNOWN = {
     "naml_train_examples_per_sec_per_chip": dict(
-        value=19679.0, unit="examples/s", vs_baseline=2.234,
-        detail="6.5 ms/step at batch 128; measured round 2",
-        from_="BASELINE.md round-2 table"),
+        value=16995.0, unit="examples/s", vs_baseline=1.93,
+        detail="7.5 ms/step at batch 128; measured round 3 "
+               "(round 2 recorded 19,679 = 6.5 ms on the same code path)",
+        from_="BENCH_full_r03.json"),
     "nrms_trainable_table_examples_per_sec_per_chip": dict(
-        value=3524.0, unit="examples/s", vs_baseline=1.337,
-        detail="36.3 ms/step; XLA scatter-add table gradient 3.9 ms; "
-               "measured round 2",
-        from_="BASELINE.md round-2 table"),
+        value=3578.0, unit="examples/s", vs_baseline=1.358,
+        detail="35.8 ms/step; XLA f32 scatter-add table gradient is the "
+               "measured floor (docs/PERF.md round 3)",
+        from_="BENCH_full_r03.json"),
     "impression_scoring_qps": dict(
-        value=None, unit="impressions/s", vs_baseline=1.0,
-        detail="never recorded in an artifact before round 3",
-        from_="none"),
+        value=102340.0, unit="impressions/s", vs_baseline=1.0,
+        detail="300 candidates/impression, history 50, 65536-doc cache; "
+               "dense corpus-matmul formulation (gather measured 65,443)",
+        from_="BENCH_full_r03.json"),
 }
 
 
@@ -315,6 +317,12 @@ def main(argv=None):
     if "--headline-only" in argv:
         bench_train(headline_cfg, "nrms_train_examples_per_sec_per_chip",
                     BASELINE_EPS, nrms_forward_flops)
+        return
+    if "--naml-only" in argv:
+        bench_train(headline_cfg.replace(model="NAML", use_category=True,
+                                         use_subcategory=True),
+                    "naml_train_examples_per_sec_per_chip",
+                    BASELINE_NAML_EPS, naml_forward_flops)
         return
 
     # secondary metrics first; the driver reads the LAST line as headline

@@ -27,6 +27,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # pin the PRNG impl: the parent pytest process may have rbg set
+    # globally (cli.main does), and init weights must match bit-for-bit
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
     jax.distributed.initialize(coordinator_address=coord, num_processes=2,
                                process_id=pid)
     assert jax.process_count() == 2

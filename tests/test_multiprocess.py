@@ -145,6 +145,9 @@ def test_two_process_matches_single_process(mp_setup):
     from newsrecommendation_tpu.train import create_train_state
 
     cfg, tmp, results = mp_setup
+    # the workers pin threefry; earlier tests in this process may have left
+    # rbg as the global default (cli.main sets it) — init must match
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
     corpus = read_news(str(tmp / "train" / "news.tsv"), cfg, "train")
     feats = build_news_features(corpus, cfg)
     table = random_word_embeddings(corpus.word_dict, cfg.word_embedding_dim,
