@@ -100,6 +100,34 @@ def main():
         state, m = train_step(state, gbatch, base_rng)
         losses.append(float(m["loss"]))
 
+    # --- table-sharded mesh: the row-sharded lookup psum crosses the REAL
+    # process boundary (parallel/sharded_embedding.py gather_rows_sharded
+    # over the 'table' axis of a (4,2) mesh spanning both processes) ------
+    from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
+
+    cfg2 = cfg.replace(table_shards=2, data_parallel=4, batch_size=8)
+    mesh2 = make_mesh(cfg2)
+    assert mesh2.devices.shape == (4, 2)
+    rows2 = owned_data_rows(mesh2)
+    assert rows2 == list(range(2 * pid, 2 * pid + 2)), rows2
+    table2 = shard_table(np.asarray(table, np.float32), 2)
+    params2 = model.init(jax.random.PRNGKey(cfg.seed), cfg2, table2,
+                         len(corpus.category_dict),
+                         len(corpus.subcategory_dict))
+    state2 = place_state(create_train_state(cfg2, params2), mesh2,
+                         table_sharded=True)
+    feed2 = local_batch_size(mesh2, cfg2.batch_size)
+    assert feed2 == 4
+    it2 = samples.iter_batches(feats, feed2, epoch=1, seed=cfg.seed)
+    step2 = make_spmd_train_step(cfg2, model, mesh2, state2,
+                                 batch_example=next(it2))
+    it2 = samples.iter_batches(feats, feed2, epoch=1, seed=cfg.seed)
+    sharded_losses = []
+    for _ in range(2):
+        gbatch = shard_batch(mesh2, next(it2))
+        state2, m2 = step2(state2, gbatch, base_rng)
+        sharded_losses.append(float(m2["loss"]))
+
     # --- distributed eval: per-process impression shard + allgather sum ----
     dev_corpus = read_news(os.path.join(tmpdir, "dev", "news.tsv"), cfg,
                            "test", category_dict=corpus.category_dict,
@@ -117,6 +145,7 @@ def main():
     print("RESULT " + json.dumps({
         "pid": pid,
         "losses": losses,
+        "sharded_losses": sharded_losses,
         "eval": {k: float(v) for k, v in results.items()},
     }), flush=True)
 

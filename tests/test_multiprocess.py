@@ -206,3 +206,65 @@ def test_two_process_matches_single_process(mp_setup):
     for k in ("auc", "mrr", "ndcg5", "ndcg10", "count", "samples_seen"):
         np.testing.assert_allclose(results[0]["eval"][k], full[k],
                                    rtol=1e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_table_matches_single_process(mp_setup):
+    """The row-sharded embedding-table lookup (gather + psum over 'table')
+    crossing a REAL process boundary: 2 steps on a (4,2) data x table mesh
+    spanning both workers equal the same steps on a single-process (4,2)
+    mesh."""
+    import jax
+
+    from newsrecommendation_tpu.data import TrainSamples, build_news_features, read_news
+    from newsrecommendation_tpu.data.mind import random_word_embeddings
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.parallel import make_mesh
+    from newsrecommendation_tpu.parallel.mesh import shard_batch
+    from newsrecommendation_tpu.parallel.sharded_embedding import shard_table
+    from newsrecommendation_tpu.parallel.spmd import (
+        make_spmd_train_step,
+        place_state,
+    )
+    from newsrecommendation_tpu.train import create_train_state
+
+    cfg, tmp, results = mp_setup
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    np.testing.assert_allclose(results[0]["sharded_losses"],
+                               results[1]["sharded_losses"], rtol=1e-6)
+
+    cfg2 = cfg.replace(table_shards=2, data_parallel=4, batch_size=8)
+    corpus = read_news(str(tmp / "train" / "news.tsv"), cfg2, "train")
+    feats = build_news_features(corpus, cfg2)
+    table = shard_table(
+        random_word_embeddings(corpus.word_dict, cfg2.word_embedding_dim,
+                               cfg2.seed), 2)
+    model = get_model(cfg2.model)
+    params = model.init(jax.random.PRNGKey(cfg2.seed), cfg2, table,
+                        len(corpus.category_dict),
+                        len(corpus.subcategory_dict))
+    mesh = make_mesh(cfg2)
+    assert mesh.devices.shape == (4, 2)
+    state = place_state(create_train_state(cfg2, params), mesh,
+                        table_sharded=True)
+    shards = [
+        TrainSamples.from_file(
+            str(tmp / "train" / f"behaviors_np{cfg2.npratio}_{i}.tsv"),
+            corpus.news_index, cfg2)
+        for i in range(2)
+    ]
+    its = [s.iter_batches(feats, 4, epoch=1, seed=cfg2.seed) for s in shards]
+    first = {k: np.concatenate([b[k] for b in (next(its[0]), next(its[1]))])
+             for k in ("history", "history_mask", "candidate", "label",
+                       "weight")}
+    step = make_spmd_train_step(cfg2, model, mesh, state, batch_example=first)
+    its = [s.iter_batches(feats, 4, epoch=1, seed=cfg2.seed) for s in shards]
+    losses = []
+    for _ in range(2):
+        b0, b1 = next(its[0]), next(its[1])
+        gbatch = shard_batch(mesh, {k: np.concatenate([b0[k], b1[k]])
+                                    for k in b0})
+        state, m = step(state, gbatch, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(results[0]["sharded_losses"], losses,
+                               rtol=1e-5)
