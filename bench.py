@@ -292,7 +292,14 @@ def main(argv=None):
     # budget the secondaries are skipped (their last values live in
     # BASELINE.md) and the headline is guaranteed to land. Raise
     # NEWSREC_BENCH_BUDGET to re-measure everything in one run.
-    EST_TRAIN, EST_QPS, EST_HEADLINE = 1000.0, 1100.0, 2300.0
+    # Round-3 re-measurement: the repo-local persistent cache now DOES hold
+    # across fresh processes (bench.py --headline-only cold process = 474 s
+    # wall after the full-suite run populated .jax_cache; --naml-only
+    # 106 s; the full 4-metric suite including its cold compiles was 32
+    # min). Estimates sized so a 2400 s driver budget measures everything
+    # fresh when warm and still lands the headline with margin when cold —
+    # skipped secondaries emit their LAST_KNOWN values either way.
+    EST_TRAIN, EST_QPS, EST_HEADLINE = 700.0, 500.0, 900.0
 
     def have_time_for(est):
         spent = time.perf_counter() - t_start
