@@ -110,6 +110,11 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--scan", type=int, default=0,
                     help="steps per dispatch via lax.scan (0 = per-step)")
+    ap.add_argument("--scan_list", default=None,
+                    help="comma-separated list of scan depths to run per "
+                         "variant IN ONE PROCESS (e.g. 0,4), so the "
+                         "per-dispatch-overhead A/B shares one backend "
+                         "session; overrides --scan")
     ap.add_argument("--freeze", action="store_true",
                     help="freeze_embedding=True (the reference demo.sh "
                          "training config; skips the table-grad scatter)")
@@ -141,7 +146,10 @@ def main():
         set_pallas_mode(over.pop("use_pallas", "auto"))
         cfg = Config(**{**base, **over})
         set_bwd_residuals(cfg.bwd_residuals)
-        bench_variant(label, cfg, iters=args.iters, scan_k=args.scan)
+        scans = ([int(s) for s in args.scan_list.split(",")]
+                 if args.scan_list else [args.scan])
+        for sk in scans:
+            bench_variant(label, cfg, iters=args.iters, scan_k=sk)
 
 
 if __name__ == "__main__":
