@@ -361,11 +361,15 @@ def _block_rows(n: int, target: int) -> int:
 
 
 # Per-block VMEM working-set budget. The kernels run with a 100 MiB
-# vmem_limit; half of it leaves room for Mosaic's double buffering and
+# vmem_limit; the budget must leave room for Mosaic's double buffering and
 # per-head stack temporaries (an f32[512,50,400] ctx stack allocation once
 # blew the limit at the eval shape — block rows must shrink as T and the
-# dtype grow, not stay pinned at the target).
-_VMEM_BLOCK_BUDGET = 48 * 1024 * 1024
+# dtype grow, not stay pinned at the target). Calibrated round 3: a
+# 49.6 MB estimated block (f32 (256,20,1200) fwd) produced a measured
+# 110.4 MB scoped allocation — ~2.2x the estimate — so 40 MiB keeps the
+# true usage under the limit with ~12% margin (f32 shapes fall back to
+# 128-row blocks; bf16 keeps 256).
+_VMEM_BLOCK_BUDGET = 40 * 1024 * 1024
 
 
 def _capped_block_rows(n: int, target: int, t: int, w_in: int, w_out: int,
