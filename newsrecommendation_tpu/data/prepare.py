@@ -10,6 +10,13 @@ Behavioral parity with reference ``prepare_data.py``:
 
 Shards here feed data-parallel hosts/devices on the TPU mesh instead of GPU
 ranks, but the on-disk format is identical so artifacts interoperate.
+
+Multi-controller safety: the reference prepares once in the parent before
+spawning workers (main.py:293); here every process may call prepare (cli
+runs it when its shard file is missing). The outputs are deterministic
+(seeded RNG), so concurrent preparers produce byte-identical files — each
+shard is therefore written to a process-unique temp name and atomically
+os.replace'd, so a concurrent reader only ever sees a complete file.
 """
 
 from __future__ import annotations
@@ -59,11 +66,17 @@ def prepare_training_data(train_data_dir: str, num_shards: int, npratio: int,
         shard_path = os.path.join(
             train_data_dir, f"behaviors_np{npratio}_{shard}.tsv"
         )
-        with open(shard_path, "w", encoding="utf-8") as f:
-            f.writelines(out_lines[shard::num_shards])
+        _atomic_write_lines(shard_path, out_lines[shard::num_shards])
     logging.info("prepared %d training samples into %d shards",
                  len(out_lines), num_shards)
     return len(out_lines)
+
+
+def _atomic_write_lines(path: str, lines: List[str]) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.writelines(lines)
+    os.replace(tmp, path)
 
 
 def prepare_testing_data(test_data_dir: str, num_shards: int) -> int:
@@ -72,8 +85,7 @@ def prepare_testing_data(test_data_dir: str, num_shards: int) -> int:
         lines = f.readlines()
     for shard in range(num_shards):
         shard_path = os.path.join(test_data_dir, f"behaviors_{shard}.tsv")
-        with open(shard_path, "w", encoding="utf-8") as f:
-            f.writelines(lines[shard::num_shards])
+        _atomic_write_lines(shard_path, lines[shard::num_shards])
     logging.info("prepared %d testing samples into %d shards",
                  len(lines), num_shards)
     return len(lines)
