@@ -100,7 +100,12 @@ class Config:
     serve_host: str = "127.0.0.1"
     serve_port: int = 8000
     serve_max_batch: int = 64      # micro-batching coalescing cap
-    serve_max_delay_ms: float = 2.0  # max wait to fill a device batch
+    # Max wait to fill a device batch. 5 ms chosen from the round-3
+    # (delay x batch x clients) sweep: at 64 clients it beats 2 ms on BOTH
+    # throughput (388 vs 334 req/s) and tail latency (p95 202 vs 225 ms,
+    # p99 226 vs 1061); the 128-batch tier measured strictly worse at 128
+    # clients (BASELINE.md round-3 serving table).
+    serve_max_delay_ms: float = 5.0
     serve_scorer: str = "gather"   # "gather" | "dense" candidate scorer
     serve_cache_dtype: str = "float32"  # "bfloat16" halves cache HBM traffic
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
