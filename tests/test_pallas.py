@@ -888,3 +888,22 @@ class TestProbsResiduals:
         np.testing.assert_allclose(np.asarray(out_vjp),
                                    np.asarray(out_primal),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_block_rows_respect_vmem_budget():
+    """Regression: the f32 (1024,20,1200) serving-eval forward must NOT
+    pick 256-row blocks — at that size Mosaic's true scoped allocation
+    measured 110.4 MB against the 100 MB vmem limit (compile-time OOM,
+    round 3). The calibrated budget caps it at 128 while the bf16
+    training shapes keep the A/B-measured blocks (fwd 176 / bwd 128)."""
+    from newsrecommendation_tpu.ops.pallas.fused_attention import (
+        _capped_block_rows,
+    )
+
+    # f32 corpus-encode chunk (serving/eval): must fall back to <= 128
+    assert _capped_block_rows(1024, 256, 20, 1200, 400, 4) <= 128
+    # f32 user-encoder serving shape (T=50): stays small
+    assert _capped_block_rows(64, 256, 50, 1200, 400, 4) <= 64
+    # bf16 headline shapes: exactly the blocks the round-3 A/B measured
+    assert _capped_block_rows(7040, 256, 20, 1200, 400, 2) == 176
+    assert _capped_block_rows(7040, 128, 20, 2800, 400, 2) == 128
