@@ -71,16 +71,21 @@ class _BPEmbEmbedder:
 
 class _BertEmbedder:
     """Per-token contextual vectors: sum of the last 4 hidden layers,
-    [CLS]/[SEP] stripped (reference preprocess.py:80-103)."""
+    [CLS]/[SEP] stripped (reference preprocess.py:80-103).
+
+    NEWSREC_BERT_MODEL overrides the HF model name/path (default
+    bert-base-uncased) — point it at any local save_pretrained directory
+    to run fully offline (tests exercise this with a tiny local BERT)."""
 
     def __init__(self, dim: int = 768):
         import torch
         from transformers import AutoModel, AutoTokenizer
 
+        name = os.environ.get("NEWSREC_BERT_MODEL", "bert-base-uncased")
         self.torch = torch
-        self.tokenizer = AutoTokenizer.from_pretrained("bert-base-uncased")
+        self.tokenizer = AutoTokenizer.from_pretrained(name)
         self.model = AutoModel.from_pretrained(
-            "bert-base-uncased", output_hidden_states=True
+            name, output_hidden_states=True
         )
         self.model.eval()
         self.dim = dim
