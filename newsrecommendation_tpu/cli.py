@@ -271,6 +271,22 @@ def main(argv=None):
         jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass
+    try:
+        # Persistent XLA compile cache: cold Mosaic/axon compiles of the
+        # train/eval programs run minutes; with the cache a repeat CLI run
+        # (resume, test-after-train, serve restart) starts in seconds.
+        # NEWSREC_COMPILE_CACHE overrides the location; set it empty to
+        # disable.
+        cache_dir = os.environ.get(
+            "NEWSREC_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "newsrecommendation_tpu", "xla"))
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if os.environ.get("NEWSREC_DISTRIBUTED") == "1":
         # multi-host bootstrap: coordinator/process info from the standard
         # JAX env vars — replaces the reference's MASTER_ADDR/spawn
