@@ -94,28 +94,31 @@ def naml_forward_flops(cfg) -> float:
     return f
 
 
-# Last-measured values for the secondary metrics, re-emitted (tagged
-# "cached": true) when the compile-time budget forces a skip — so the
-# driver's machine-readable artifact always carries every first-class
-# metric, never just the headline (VERDICT r2 missing #2). Source of each
-# value: the committed full-suite artifact named in "from".
-LAST_KNOWN = {
-    "naml_train_examples_per_sec_per_chip": dict(
-        value=16995.0, unit="examples/s", vs_baseline=1.93,
-        detail="7.5 ms/step at batch 128; measured round 3 "
-               "(round 2 recorded 19,679 = 6.5 ms on the same code path)",
-        from_="BENCH_full_r03.json"),
-    "nrms_trainable_table_examples_per_sec_per_chip": dict(
-        value=3578.0, unit="examples/s", vs_baseline=1.358,
-        detail="35.8 ms/step; XLA f32 scatter-add table gradient is the "
-               "measured floor (docs/PERF.md round 3)",
-        from_="BENCH_full_r03.json"),
-    "impression_scoring_qps": dict(
-        value=102340.0, unit="impressions/s", vs_baseline=1.0,
-        detail="300 candidates/impression, history 50, 65536-doc cache; "
-               "dense corpus-matmul formulation (gather measured 65,443)",
-        from_="BENCH_full_r03.json"),
-}
+# Committed full-suite artifact: the source of last-measured values for
+# secondary metrics, re-emitted (tagged "cached": true) when the
+# compile-time budget forces a skip — the driver's machine-readable
+# artifact then always carries every first-class metric, never just the
+# headline (VERDICT r2 missing #2), and a re-run of the full suite
+# refreshes the source automatically instead of requiring a hand-edited
+# values table.
+_LAST_KNOWN_ARTIFACT = "BENCH_full_r03.json"
+
+
+def _load_last_known():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _LAST_KNOWN_ARTIFACT)
+    known = {}
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                known[rec["metric"]] = rec
+    except (OSError, ValueError, KeyError):
+        pass
+    return known
 
 
 def _emit(metric, value, unit, baseline, detail=None):
@@ -127,13 +130,14 @@ def _emit(metric, value, unit, baseline, detail=None):
 
 
 def _emit_cached(metric):
-    known = LAST_KNOWN.get(metric)
-    if not known or known["value"] is None:
+    known = _load_last_known().get(metric)
+    if not known or known.get("value") is None:
         return False
-    line = {"metric": metric, "value": known["value"], "unit": known["unit"],
-            "vs_baseline": known["vs_baseline"], "cached": True,
-            "detail": f"{known['detail']} (cached from {known['from_']}; "
-                      f"skipped this run by the compile-time budget)"}
+    line = dict(known)
+    line["cached"] = True
+    line["detail"] = (f"{known.get('detail', '')} (cached from "
+                      f"{_LAST_KNOWN_ARTIFACT}; skipped this run by the "
+                      f"compile-time budget)")
     print(json.dumps(line), flush=True)
     return True
 

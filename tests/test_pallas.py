@@ -808,10 +808,14 @@ class TestProbsResiduals:
 
     @pytest.fixture(autouse=True)
     def _probs_mode(self):
-        from newsrecommendation_tpu.ops.pallas.config import set_bwd_residuals
+        from newsrecommendation_tpu.ops.pallas.config import (
+            bwd_residuals,
+            set_bwd_residuals,
+        )
+        prev = bwd_residuals()
         set_bwd_residuals("probs")
         yield
-        set_bwd_residuals("recompute")
+        set_bwd_residuals(prev)  # restore, don't hardcode the default
 
     def _grads(self, loss, *args):
         return jax.grad(loss)(*args)

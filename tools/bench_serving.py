@@ -179,6 +179,8 @@ def _run_one(rec, args, serve, max_delay_ms, max_batch, clients):
                                     args.num_news, args.candidates,
                                     args.recommend_every)
     stats = srv.batcher.stats.snapshot()
+    # always torn down here (incl. per-config in --sweep mode): leaked
+    # batcher worker threads would add scheduler noise to later configs
     srv.shutdown()
     srv.batcher.close()
 

@@ -136,6 +136,8 @@ def main():
         ("bf16", {"compute_dtype": "bfloat16"}),
         ("bf16 probs", {"compute_dtype": "bfloat16",
                         "bwd_residuals": "probs"}),
+        ("bf16 recompute", {"compute_dtype": "bfloat16",
+                            "bwd_residuals": "recompute"}),
         ("f32 no-pallas", {"use_pallas": "off"}),
         ("bf16 no-pallas", {"compute_dtype": "bfloat16", "use_pallas": "off"}),
     ]:
