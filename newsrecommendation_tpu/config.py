@@ -106,7 +106,14 @@ class Config:
     # p99 226 vs 1061); the 128-batch tier measured strictly worse at 128
     # clients (BASELINE.md round-3 serving table).
     serve_max_delay_ms: float = 5.0
-    serve_scorer: str = "gather"   # "gather" | "dense" candidate scorer
+    # Candidate scorer for serving. "dense" (default) scores the WHOLE
+    # corpus cache with one matmul then gathers the candidates — measured
+    # fastest at MIND-scale corpora both device-level (107.8k vs 66.1k
+    # impressions/s at 65k docs, BENCH_full_r03.json) and through HTTP
+    # (406 vs 388 req/s at the sweep-chosen coalescing defaults). Its cost
+    # grows with corpus size; "gather" (random candidate-row gather,
+    # cost ~ candidates only) wins for corpora far beyond ~100k docs.
+    serve_scorer: str = "dense"
     serve_cache_dtype: str = "float32"  # "bfloat16" halves cache HBM traffic
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf

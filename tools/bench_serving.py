@@ -117,7 +117,9 @@ def main():
     ap.add_argument("--num_news", type=int, default=65536)
     ap.add_argument("--candidates", type=int, default=300)
     ap.add_argument("--max_batch", type=int, default=64)
-    ap.add_argument("--max_delay_ms", type=float, default=2.0)
+    ap.add_argument("--max_delay_ms", type=float, default=5.0,
+                    help="matches Config.serve_max_delay_ms's sweep-chosen "
+                         "default")
     ap.add_argument("--recommend_every", type=int, default=0,
                     help="every Nth request is a corpus-wide /recommend")
     ap.add_argument("--scorer", default="gather",
