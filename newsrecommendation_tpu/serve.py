@@ -42,7 +42,7 @@ class Recommender:
     """
 
     def __init__(self, model, params, cfg, news_index: Dict[str, int],
-                 news_scoring, scorer: str = "gather",
+                 news_scoring, scorer: str = "dense",
                  cache_dtype: Optional[str] = None):
         self.model = model
         self.params = params
