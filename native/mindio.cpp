@@ -223,6 +223,8 @@ struct EvalResult {
   int32_t* candidates;     // (n, C)
   float* labels;           // (n, C)
   float* candidate_mask;   // (n, C)
+  int64_t truncated;       // impressions with more than C candidates
+  int64_t max_width;       // widest impression observed (pre-truncation)
 };
 
 int64_t mindio_parse_eval(void* index_handle, const char* path, int32_t L,
@@ -237,6 +239,8 @@ int64_t mindio_parse_eval(void* index_handle, const char* path, int32_t L,
   if (m.size > 0 && m.data[m.size - 1] != '\n') ++n_lines;
 
   out->n = 0;
+  out->truncated = 0;
+  out->max_width = 0;
   out->history = static_cast<int32_t*>(malloc(sizeof(int32_t) * n_lines * L));
   out->history_mask = static_cast<float*>(malloc(sizeof(float) * n_lines * L));
   out->candidates =
@@ -257,9 +261,9 @@ int64_t mindio_parse_eval(void* index_handle, const char* path, int32_t L,
         const int64_t r = out->n;
         fill_history(idx, f.f[3], f.fe[3], L, out->history + r * L,
                      out->history_mask + r * L);
-        int32_t c = 0;
+        int32_t c = 0;       // candidates kept (<= C)
+        int64_t total = 0;   // candidates present in the line
         for_each_token(f.f[4], f.fe[4], ' ', [&](View v) {
-          if (c >= C) return;
           // split "Nxxxx-0/1" on the LAST '-'
           const char* dash = nullptr;
           for (const char* p = v.p + v.n; p-- > v.p;)
@@ -268,6 +272,8 @@ int64_t mindio_parse_eval(void* index_handle, const char* path, int32_t L,
               break;
             }
           if (!dash) return;
+          ++total;
+          if (c >= C) return;
           out->candidates[r * C + c] =
               lookup(idx, View{v.p, static_cast<size_t>(dash - v.p)});
           out->labels[r * C + c] =
@@ -275,6 +281,8 @@ int64_t mindio_parse_eval(void* index_handle, const char* path, int32_t L,
           out->candidate_mask[r * C + c] = 1.0f;
           ++c;
         });
+        if (total > C) ++out->truncated;
+        if (total > out->max_width) out->max_width = total;
         ++out->n;
       }
     }

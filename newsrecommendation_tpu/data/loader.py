@@ -27,6 +27,26 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
+class CandidateTruncationError(ValueError):
+    """Raised when an eval impression has more candidates than the padded
+    width — silent truncation would silently corrupt ranking metrics."""
+
+
+def _guard_truncation(path: str, truncated: int, max_width: int,
+                      width: int, allow: bool) -> None:
+    if truncated <= 0:
+        return
+    msg = (f"{path}: {truncated} impression(s) exceed the eval candidate "
+           f"width {width} (widest observed: {max_width}); their excess "
+           f"candidates would be silently dropped from AUC/MRR/nDCG. "
+           f"Raise max_candidates (--max_candidates) to >= {max_width}.")
+    if allow:
+        import logging
+        logging.warning("%s (allow_truncation=True: continuing)", msg)
+        return
+    raise CandidateTruncationError(msg)
+
+
 def trans_to_nindex(nids: List[str], news_index: Dict[str, int]) -> List[int]:
     """doc ids -> 1-based indices, 0 for unknown (reference dataset.py:14-15)."""
     return [news_index.get(i, 0) for i in nids]
@@ -174,13 +194,26 @@ class EvalSamples:
     @classmethod
     def from_file(cls, path: str, news_index: Dict[str, int], cfg,
                   max_candidates: Optional[int] = None,
-                  use_native: bool = True) -> "EvalSamples":
+                  use_native: bool = True,
+                  allow_truncation: bool = False) -> "EvalSamples":
+        """Parse one eval shard; candidates padded to ``max_candidates``.
+
+        Impressions wider than ``max_candidates`` would be silently
+        truncated — which silently corrupts AUC/MRR/nDCG (dropped
+        candidates simply vanish from the ranking). The reference parses
+        unbounded (dataset.py:70-72), so truncation is OUR artifact:
+        by default it raises with the count and the observed max width
+        (fix: raise cfg.max_candidates); ``allow_truncation=True`` demotes
+        the error to a logged warning for callers that accept the loss.
+        """
         if use_native and max_candidates is not None:
             from newsrecommendation_tpu.data import native_loader
             parsed = native_loader.parse_eval_file(
                 path, news_index, cfg.user_log_length, max_candidates)
             if parsed is not None:
-                h, m, c, l, cm = parsed
+                h, m, c, l, cm, truncated, max_width = parsed
+                _guard_truncation(path, truncated, max_width,
+                                  max_candidates, allow_truncation)
                 return cls(history=h, history_mask=m, candidates=c,
                            labels=l, candidate_mask=cm)
         hist, mask, cand_lists, label_lists = [], [], [], []
@@ -201,6 +234,9 @@ class EvalSamples:
 
         width = max_candidates or max(len(c) for c in cand_lists)
         n = len(hist)
+        widths = np.asarray([len(c) for c in cand_lists])
+        _guard_truncation(path, int(np.sum(widths > width)),
+                          int(widths.max(initial=0)), width, allow_truncation)
         candidates = np.zeros((n, width), dtype=np.int32)
         labels = np.zeros((n, width), dtype=np.float32)
         cmask = np.zeros((n, width), dtype=np.float32)

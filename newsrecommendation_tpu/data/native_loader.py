@@ -45,6 +45,8 @@ class _EvalResult(ctypes.Structure):
         ("candidates", ctypes.POINTER(ctypes.c_int32)),
         ("labels", ctypes.POINTER(ctypes.c_float)),
         ("candidate_mask", ctypes.POINTER(ctypes.c_float)),
+        ("truncated", ctypes.c_int64),
+        ("max_width", ctypes.c_int64),
     ]
 
 
@@ -136,7 +138,13 @@ def parse_train_file(path: str, news_index: Dict[str, int], L: int, K: int):
 
 
 def parse_eval_file(path: str, news_index: Dict[str, int], L: int, C: int):
-    """Native equivalent of EvalSamples.from_file's parse (fixed width C)."""
+    """Native equivalent of EvalSamples.from_file's parse (fixed width C).
+
+    Returns (history, mask, candidates, labels, candidate_mask, truncated,
+    max_width) where ``truncated`` is the number of impressions with more
+    than C candidates and ``max_width`` the widest impression observed —
+    the caller decides whether truncation is an error (loader.py guard).
+    """
     lib = _load()
     if lib is None:
         return None
@@ -153,6 +161,8 @@ def parse_eval_file(path: str, news_index: Dict[str, int], L: int, C: int):
             _take(lib, res.candidates, (n, C), np.int32),
             _take(lib, res.labels, (n, C), np.float32),
             _take(lib, res.candidate_mask, (n, C), np.float32),
+            int(res.truncated),
+            int(res.max_width),
         )
     finally:
         lib.mindio_index_free(handle)

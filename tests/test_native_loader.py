@@ -90,3 +90,29 @@ def test_native_is_faster_on_large_file(prepared, tiny_cfg, tmp_path):
                            use_native=False)
     t_python = time.perf_counter() - t0
     assert t_native < t_python
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_candidate_truncation_raises(prepared, tiny_cfg, tmp_path, use_native):
+    """Impressions wider than max_candidates must fail loudly, not silently
+    drop candidates (VERDICT r3 weak #4; the reference parses unbounded,
+    dataset.py:70-72)."""
+    from newsrecommendation_tpu.data.loader import CandidateTruncationError
+
+    _, _, _, corpus = prepared
+    p = tmp_path / "wide.tsv"
+    wide = " ".join(f"N{(i % 9) + 1}-{1 if i == 0 else 0}" for i in range(400))
+    p.write_text(
+        f"1\tU1\ttime\tN1 N2\t{wide}\n"
+        "2\tU2\ttime\tN1\tN1-1 N2-0\n"
+    )
+    with pytest.raises(CandidateTruncationError, match="400"):
+        EvalSamples.from_file(str(p), corpus.news_index, tiny_cfg,
+                              max_candidates=384, use_native=use_native)
+    # allow_truncation demotes to a warning and keeps the fixed width
+    es = EvalSamples.from_file(str(p), corpus.news_index, tiny_cfg,
+                               max_candidates=384, use_native=use_native,
+                               allow_truncation=True)
+    assert es.candidates.shape == (2, 384)
+    assert es.candidate_mask[0].sum() == 384
+    assert es.candidate_mask[1].sum() == 2
