@@ -1,0 +1,269 @@
+"""Drive the ACTUAL reference implementation end-to-end (training dynamics).
+
+Imports the reference source at /root/reference/src unmodified — model.NRMS /
+model.NAML / dataset / metrics — and runs its training + eval procedure
+(mirroring main.py:76-116 and main.py:185-263) on a prepared data directory,
+recording the per-epoch loss trajectory and final ranking metrics.
+
+This is the last offline-checkable rung of the acceptance criterion below a
+real-MIND run: the per-step oracles (tests/test_reference_train_oracle.py)
+prove "same math per step"; this proves "same model after training" by
+training the reference program and the TPU stack on byte-identical prepared
+shards and comparing trajectories (VERDICT r3 next-round task 1).
+
+The two crash defects documented in SURVEY.md §5 are worked around at the
+CALL level, never by editing the reference:
+  1. main.py:64 passes category counts positionally but
+     NRMS.Model.__init__(self, args, embedding_matrix, **kwargs) takes only
+     two positionals (NRMS.py:67) -> we pass them as kwargs (NRMS ignores
+     them).
+  2. main.py:168 calls read_news_embeddings with two args but the function
+     takes one (preprocess.py:227) -> we load tables ourselves and hand the
+     numpy matrix straight to Model.
+
+Data is produced by this repo's readers/preparers (data/prepare.py output is
+format-identical to the reference's prepared shards) so both frameworks see
+the same bytes; the torch side consumes them through the reference's own
+DatasetTrain (dataset.py:6-53).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import random
+import sys
+from types import SimpleNamespace
+from typing import Dict, List, Optional
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_SRC = os.environ.get("NEWSREC_REFERENCE_SRC", "/root/reference/src")
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _import_reference(model_name: str):
+    """Import the reference model module + dataset/metrics, unmodified."""
+    if REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, REFERENCE_SRC)
+    module = importlib.import_module(f"model.{model_name}")  # main.py:63
+    ref_dataset = importlib.import_module("dataset")
+    ref_metrics = importlib.import_module("metrics")
+    return module, ref_dataset, ref_metrics
+
+
+def reference_args(cfg) -> SimpleNamespace:
+    """Our Config -> the reference's argparse namespace (parameters.py:7-59)."""
+    return SimpleNamespace(
+        npratio=cfg.npratio, batch_size=cfg.batch_size,
+        user_log_length=cfg.user_log_length,
+        num_words_title=cfg.num_words_title,
+        word_embedding_dim=cfg.word_embedding_dim, news_dim=cfg.news_dim,
+        news_query_vector_dim=cfg.news_query_vector_dim,
+        user_query_vector_dim=cfg.user_query_vector_dim,
+        num_attention_heads=cfg.num_attention_heads,
+        user_log_mask=cfg.user_log_mask, drop_rate=cfg.drop_rate,
+        freeze_embedding=cfg.freeze_embedding, lr=cfg.lr,
+        epochs=cfg.epochs, use_category=cfg.use_category,
+        use_subcategory=cfg.use_subcategory,
+        category_emb_dim=cfg.category_emb_dim,
+    )
+
+
+def _set_linear(sd, name, p):
+    """Our {'w': (in,out), 'b': (out,)} -> torch Linear weight (out,in)+bias."""
+    sd[f"{name}.weight"] = np.asarray(p["w"]).T.copy()
+    sd[f"{name}.bias"] = np.asarray(p["b"]).copy()
+
+
+def _set_attn_pooling(sd, name, p):
+    _set_linear(sd, f"{name}.att_fc1", p["fc1"])
+    _set_linear(sd, f"{name}.att_fc2", p["fc2"])
+
+
+def _set_mhsa(sd, name, p):
+    _set_linear(sd, f"{name}.W_Q", p["wq"])
+    _set_linear(sd, f"{name}.W_K", p["wk"])
+    _set_linear(sd, f"{name}.W_V", p["wv"])
+
+
+def state_dict_from_pytree(params, cfg) -> Dict[str, np.ndarray]:
+    """Map this repo's param pytree onto the reference's state_dict names.
+
+    Initializing the torch model FROM our init removes the init-RNG degree
+    of freedom: the two trainings then differ only in dropout / positive-
+    slot randomness, which tightens the trajectory comparison.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    table = np.asarray(params["embedding_table"])
+    ne, ue = params["news_encoder"], params["user_encoder"]
+    if cfg.model == "NRMS":
+        sd["news_encoder.embedding_matrix.weight"] = table
+        _set_mhsa(sd, "news_encoder.multi_head_self_attn", ne["mhsa"])
+        _set_attn_pooling(sd, "news_encoder.attn", ne["attn"])
+        _set_mhsa(sd, "user_encoder.multi_head_self_attn", ue["mhsa"])
+        _set_attn_pooling(sd, "user_encoder.attn", ue["attn"])
+        sd["user_encoder.pad_doc"] = np.asarray(ue["pad_doc"]).reshape(1, -1)
+    else:  # NAML
+        sd["news_encoder.title_embeddings.weight"] = table
+        # ours is (W, I, O); torch Conv1d wants (O, I, W)
+        sd["news_encoder.cnn.weight"] = np.transpose(
+            np.asarray(ne["cnn"]["w"]), (2, 1, 0)).copy()
+        sd["news_encoder.cnn.bias"] = np.asarray(ne["cnn"]["b"]).copy()
+        _set_attn_pooling(sd, "news_encoder.attn", ne["attn"])
+        if cfg.use_category:
+            sd["news_encoder.category_emb.weight"] = np.asarray(
+                ne["category_emb"])
+            _set_linear(sd, "news_encoder.category_dense",
+                        ne["category_dense"])
+        if cfg.use_subcategory:
+            sd["news_encoder.subcategory_emb.weight"] = np.asarray(
+                ne["subcategory_emb"])
+            _set_linear(sd, "news_encoder.subcategory_dense",
+                        ne["subcategory_dense"])
+        if cfg.use_category or cfg.use_subcategory:
+            _set_attn_pooling(sd, "news_encoder.final_attn", ne["final_attn"])
+        _set_attn_pooling(sd, "user_encoder.attn", ue["attn"])
+        sd["user_encoder.pad_doc"] = np.asarray(ue["pad_doc"]).reshape(1, -1)
+    return sd
+
+
+def run_reference(cfg, train_shard: str, news_index: Dict[str, int],
+                  news_combined: np.ndarray, embedding_matrix: np.ndarray,
+                  eval_samples=None, news_combined_eval: Optional[np.ndarray] = None,
+                  eval_table: Optional[np.ndarray] = None,
+                  init_params=None, seed: int = 0,
+                  num_category: int = 0, num_subcategory: int = 0) -> dict:
+    """Train + eval the reference program; returns the trajectory record.
+
+    cfg: this repo's Config (translated to the reference namespace).
+    train_shard: a prepared behaviors_np{K}_{r}.tsv path.
+    news_combined: (N+1, F) int feature matrix (the reference's
+    news_combined, main.py:48); embedding_matrix: the table handed to
+    Model (word table for NRMS word_ids, flattened title table for NAML).
+    init_params: optional param pytree from this repo's model.init — when
+    given, the torch model starts from the identical weights.
+    """
+    import torch
+
+    module, ref_dataset, ref_metrics = _import_reference(cfg.model)
+
+    torch.manual_seed(seed)  # main.py:284-285 seeding discipline
+    random.seed(seed)
+    np.random.seed(seed)
+    args = reference_args(cfg)
+
+    # SURVEY §5 defect-1 workaround: counts as kwargs (NRMS takes **kwargs,
+    # NAML consumes them positionally by name).
+    tmodel = module.Model(args, embedding_matrix.astype(np.float32),
+                          num_category=num_category,
+                          num_subcategory=num_subcategory)
+    if init_params is not None:
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v, dtype=np.float32))
+              for k, v in state_dict_from_pytree(init_params, cfg).items()}
+        missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+        # everything trainable must be covered; from_pretrained tables are
+        # loaded too (same matrix both sides)
+        if unexpected:
+            raise ValueError(f"unmapped torch keys: {unexpected}")
+        if missing:
+            raise ValueError(f"missing torch keys: {missing}")
+
+    optimizer = torch.optim.Adam(
+        [p for p in tmodel.parameters() if p.requires_grad], lr=args.lr)
+
+    dataset = ref_dataset.DatasetTrain(train_shard, news_index,
+                                       news_combined, args)
+    from torch.utils.data import DataLoader
+    dataloader = DataLoader(dataset, batch_size=cfg.batch_size)
+
+    epoch_losses: List[float] = []
+    epoch_accs: List[float] = []
+    tmodel.train()
+    for ep in range(cfg.epochs):
+        loss_sum, acc_sum, cnt, ex = 0.0, 0.0, 0, 0
+        for history, history_mask, candidate, label in dataloader:
+            loss, score = tmodel(history, history_mask.float(), candidate,
+                                 label)
+            optimizer.zero_grad()  # main.py:105-110
+            loss.backward()
+            optimizer.step()
+            b = label.shape[0]
+            loss_sum += float(loss) * b
+            acc_sum += float((score.argmax(dim=1) == label).float().sum())
+            cnt += 1
+            ex += b
+        epoch_losses.append(loss_sum / max(ex, 1))
+        epoch_accs.append(acc_sum / max(ex, 1))
+
+    result = {
+        "framework": "torch-reference",
+        "model": cfg.model,
+        "epochs": cfg.epochs,
+        "epoch_losses": epoch_losses,
+        "epoch_accs": epoch_accs,
+    }
+    if eval_samples is not None:
+        if eval_table is not None:
+            # test-time table rebuild from the test dir — the reference's
+            # doc_table eval path (main.py:165-170): swap the embedding
+            # weight for the dev corpus's table before phase 1.
+            import torch as _torch
+
+            emb = (tmodel.news_encoder.title_embeddings
+                   if cfg.model == "NAML"
+                   else tmodel.news_encoder.embedding_matrix)
+            emb.weight.data = _torch.from_numpy(
+                eval_table.astype(np.float32))
+        result["metrics"] = _evaluate(tmodel, args, cfg, eval_samples,
+                                      news_combined_eval
+                                      if news_combined_eval is not None
+                                      else news_combined, ref_metrics)
+    return result
+
+
+def _evaluate(tmodel, args, cfg, eval_samples, news_combined,
+              ref_metrics) -> dict:
+    """Reference eval procedure (main.py:185-263): phase-1 corpus encode,
+    phase-2 user vectors + dot scoring, per-impression metrics with
+    degenerate-label skipping; metrics from the reference's metrics.py."""
+    import torch
+    from sklearn.metrics import roc_auc_score
+
+    tmodel.eval()
+    args.user_log_mask = True  # demo.sh:24-32 tests with the masked path
+    with torch.no_grad():
+        # phase 1: whole-corpus news vectors in batches (main.py:185-198)
+        vecs = []
+        bs = 256
+        for s in range(0, news_combined.shape[0], bs):
+            ids = torch.from_numpy(news_combined[s:s + bs])
+            vecs.append(tmodel.news_encoder(ids).numpy())
+        news_scoring = np.concatenate(vecs, axis=0)
+
+        # phase 2 (main.py:212-263) on this repo's parsed eval arrays
+        aucs, mrrs, n5s, n10s = [], [], [], []
+        es = eval_samples
+        hist_vecs = torch.from_numpy(news_scoring[es.history])
+        masks = torch.from_numpy(es.history_mask)
+        user = tmodel.user_encoder(hist_vecs, masks).numpy()
+        for i in range(es.num_samples):
+            w = int(es.candidate_mask[i].sum())
+            cand = es.candidates[i, :w]
+            labels = es.labels[i, :w]
+            if labels.mean() in (0.0, 1.0):  # main.py:250-251
+                continue
+            score = np.dot(news_scoring[cand], user[i])
+            aucs.append(roc_auc_score(labels, score))
+            mrrs.append(ref_metrics.mrr_score(labels, score))
+            n5s.append(ref_metrics.ndcg_score(labels, score, k=5))
+            n10s.append(ref_metrics.ndcg_score(labels, score, k=10))
+    return {
+        "count": len(aucs),
+        "auc": 100 * float(np.mean(aucs)),
+        "mrr": 100 * float(np.mean(mrrs)),
+        "ndcg5": 100 * float(np.mean(n5s)),
+        "ndcg10": 100 * float(np.mean(n10s)),
+    }
