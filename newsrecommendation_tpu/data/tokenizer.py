@@ -7,9 +7,14 @@ and therefore real-MIND accuracy parity — depends on reproducing that
 tokenization, but nltk is not in this image. This module re-implements the
 TreebankWordTokenizer rule set of the nltk generation the reference's env
 pins (the 2020/2021-era 3.4-3.6 rules: no unicode-quote or ``*`` handling,
-``...`` not ``\\.{2,}``), verified against recorded nltk outputs in
-tests/test_data.py::TestTreebankTokenizer (golden file — nltk cannot run
-here, so the goldens were recorded from nltk 3.5 word_tokenize).
+``...`` not ``\\.{2,}``), verified two ways: against recorded nltk 3.5
+word_tokenize goldens (tests/test_data.py::TestTreebankTokenizer) and by a
+live fuzz against the installed nltk's TreebankWordTokenizer
+(tests/test_tokenizer_nltk_live.py — nltk 3.10 IS importable in this
+image; only word_tokenize's Punkt sentence-model data is unavailable).
+The fuzz also documents the two known 3.5->3.10 rule drifts we
+deliberately do NOT follow (``more'n`` contraction, unconditional
+literal-``''`` split) because vocab parity targets the reference's era.
 
 One deliberate delta: nltk's word_tokenize first splits sentences with the
 statistical Punkt model, then Treebank-tokenizes each sentence. News titles
