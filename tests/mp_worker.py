@@ -128,6 +128,47 @@ def main():
         state2, m2 = step2(state2, gbatch, base_rng)
         sharded_losses.append(float(m2["loss"]))
 
+    # --- multi-controller checkpoint round trip (VERDICT r3 task 3) --------
+    # Save mid-run with the TRAINABLE table (and its Adam moments)
+    # row-sharded ACROSS the process boundary: process 0 writes the main
+    # file, both processes write their local table rows as shard files
+    # (reference rank-0 save semantics, main.py:118-127). Then restore into
+    # a fresh placed state and verify the trajectory continues identically.
+    from jax.experimental import multihost_utils
+
+    from newsrecommendation_tpu.ckpt import load_checkpoint, save_checkpoint
+
+    model_dir = os.path.join(tmpdir, "model")
+    save_checkpoint(model_dir, "epoch-1.ckpt", state2, cfg2,
+                    category_dict=corpus.category_dict,
+                    subcategory_dict=corpus.subcategory_dict)
+    # test-only barrier: both processes' files must exist before the load
+    # below (production loads happen on restart, long after the writes)
+    multihost_utils.sync_global_devices("ckpt written")
+
+    post_batches = [next(it2), next(it2)]
+    post_save_losses = []
+    for b in post_batches:
+        state2, m2 = step2(state2, shard_batch(mesh2, b), base_rng)
+        post_save_losses.append(float(m2["loss"]))
+
+    # fresh state (different init seed so a failed restore can't pass),
+    # placed with the same shardings, restored from disk
+    params3 = model.init(jax.random.PRNGKey(cfg.seed + 99), cfg2, table2,
+                         len(corpus.category_dict),
+                         len(corpus.subcategory_dict))
+    template = place_state(create_train_state(cfg2, params3), mesh2,
+                           table_sharded=True)
+    restored, sidecar = load_checkpoint(
+        os.path.join(model_dir, "epoch-1.ckpt"), template, cfg2)
+    assert sidecar["sharded_leaves"], "trainable sharded table must be " \
+        "checkpointed via shard files"
+    assert int(restored.step) == int(state2.step) - 2
+    resumed_losses = []
+    for b in post_batches:
+        restored, m3 = step2(restored, shard_batch(mesh2, b), base_rng)
+        resumed_losses.append(float(m3["loss"]))
+
     # --- distributed eval: per-process impression shard + allgather sum ----
     dev_corpus = read_news(os.path.join(tmpdir, "dev", "news.tsv"), cfg,
                            "test", category_dict=corpus.category_dict,
@@ -146,6 +187,8 @@ def main():
         "pid": pid,
         "losses": losses,
         "sharded_losses": sharded_losses,
+        "post_save_losses": post_save_losses,
+        "resumed_losses": resumed_losses,
         "eval": {k: float(v) for k, v in results.items()},
     }), flush=True)
 

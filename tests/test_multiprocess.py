@@ -209,6 +209,26 @@ def test_two_process_matches_single_process(mp_setup):
 
 
 @pytest.mark.slow
+def test_multicontroller_checkpoint_resume(mp_setup):
+    """Mid-run save on the (4,2) mesh with the trainable table row-sharded
+    ACROSS processes, restore into a fresh placed state, resume: the loss
+    trajectory must continue identically (VERDICT r3 task 3; reference
+    rank-0 save semantics, main.py:118-127)."""
+    _, tmp, results = mp_setup
+    for pid in (0, 1):
+        r = results[pid]
+        assert len(r["post_save_losses"]) == len(r["resumed_losses"]) == 2
+        np.testing.assert_allclose(r["resumed_losses"],
+                                   r["post_save_losses"], rtol=1e-6,
+                                   err_msg=f"pid {pid}")
+    # rank-0-only main file; per-process shard files for the sharded table
+    model_dir = tmp / "model"
+    assert (model_dir / "epoch-1.ckpt").exists()
+    assert (model_dir / "epoch-1.ckpt.shards0.npz").exists()
+    assert (model_dir / "epoch-1.ckpt.shards1.npz").exists()
+
+
+@pytest.mark.slow
 def test_two_process_sharded_table_matches_single_process(mp_setup):
     """The row-sharded embedding-table lookup (gather + psum over 'table')
     crossing a REAL process boundary: 2 steps on a (4,2) data x table mesh
