@@ -220,8 +220,14 @@ def run_test(cfg: Config, state=None, vocabs: Optional[dict] = None):
         # encode_fn keeps phase 1 a lockstep global program instead — the
         # corpus is identical on every process, so chunk counts agree.
         eval_params = jax.tree_util.tree_map(np.asarray, state.params)
+    # single-process multi-device mesh: phase 1 shards corpus rows over
+    # 'data' (the sharded-table encode_fn already does its own placement;
+    # the multi-controller replicated path stays a process-local program)
+    phase1_mesh = (mesh if (mesh is not None and jax.process_count() == 1
+                            and cfg.table_shards == 1) else None)
     news_scoring = compute_news_scoring(model, eval_params, cfg,
-                                        news_features, encode_fn=encode_fn)
+                                        news_features, encode_fn=encode_fn,
+                                        mesh=phase1_mesh)
     logging.info("news scoring num: %d", news_scoring.shape[0])
     sim = doc_sim_probe(news_scoring, num_pairs=1_000_000, seed=cfg.seed)
     logging.info("News doc-sim: %.4f", sim)

@@ -29,18 +29,35 @@ from newsrecommendation_tpu.ops.scoring import score_cached_impressions
 
 
 def compute_news_scoring(model, params, cfg, news_features: np.ndarray,
-                         encode_fn=None) -> jax.Array:
+                         encode_fn=None, mesh=None) -> jax.Array:
     """Encode the whole corpus -> (num_news+1, news_dim) on-device cache.
 
     encode_fn: optional pre-built (e.g. sharded) encoder apply; defaults to
-    a jitted model.news_encoder closure.
+    a jitted model.news_encoder closure. mesh: when given (single-process,
+    no custom encode_fn), chunk rows are sharded over the 'data' axis so
+    phase 1 uses every chip like phase 2 does — the reference's phase-1
+    loop runs on one device per process (main.py:185-198).
     """
+    n = news_features.shape[0]
+    chunk = min(cfg.eval_news_chunk, max(n, 1))
+    if (encode_fn is None and mesh is not None
+            and jax.process_count() == 1 and mesh.shape.get("data", 1) > 1):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = mesh.shape["data"]
+        chunk = -(-chunk // d) * d  # row-sharding needs divisibility
+        row_sharding = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, rep)
+        jit_encode = jax.jit(lambda p, feats: model.news_encoder(p, cfg, feats))
+
+        def encode_fn(p, feats):
+            return jit_encode(p, jax.device_put(np.asarray(feats),
+                                                row_sharding))
     if encode_fn is None:
         encode_fn = jax.jit(
             lambda p, feats: model.news_encoder(p, cfg, feats)
         )
-    n = news_features.shape[0]
-    chunk = min(cfg.eval_news_chunk, max(n, 1))
     pad = (-n) % chunk
     feats = np.concatenate(
         [news_features, np.zeros((pad,) + news_features.shape[1:],
@@ -48,7 +65,10 @@ def compute_news_scoring(model, params, cfg, news_features: np.ndarray,
     ) if pad else news_features
     outs = []
     for start in range(0, feats.shape[0], chunk):
-        outs.append(encode_fn(params, jnp.asarray(feats[start:start + chunk])))
+        # raw numpy slices: the encode_fn (jit or sharding wrapper) places
+        # them; pre-committing with jnp.asarray would force an extra copy
+        # on the sharded path
+        outs.append(encode_fn(params, feats[start:start + chunk]))
     scoring = jnp.concatenate(outs, axis=0)[:n]
     # row 0 is the unknown-news vector; the reference computes it from the
     # zero feature row (not forced to zero), so keep whatever the encoder

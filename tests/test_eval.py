@@ -37,6 +37,29 @@ def test_news_scoring_chunking_invariance(tiny_cfg, rng, model_and_params):
                                atol=1e-6)
 
 
+def test_news_scoring_data_sharded_phase1_matches(tiny_cfg, rng,
+                                                  model_and_params):
+    """Phase 1 sharded over the 'data' axis of the 8-device mesh produces
+    the same vectors as the single-device encode (VERDICT r3 task 6; the
+    reference's phase-1 loop is one device per process, main.py:185-198)."""
+    from newsrecommendation_tpu.parallel import make_mesh
+
+    model, params = model_and_params
+    feats = rng.integers(
+        0, 30, size=(37, tiny_cfg.news_feature_width)).astype(np.int32)
+    mesh = make_mesh(tiny_cfg)
+    assert mesh.shape["data"] == 8
+    plain = compute_news_scoring(model, params,
+                                 tiny_cfg.replace(eval_news_chunk=16), feats)
+    # chunk 10 is NOT divisible by 8: exercises the round-up path too
+    sharded = compute_news_scoring(model, params,
+                                   tiny_cfg.replace(eval_news_chunk=10),
+                                   feats, mesh=mesh)
+    assert sharded.shape == (37, tiny_cfg.news_dim)
+    np.testing.assert_allclose(np.array(sharded), np.array(plain),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_doc_sim_probe_detects_collapse(rng):
     collapsed = np.tile(rng.normal(size=(1, 8)).astype(np.float32), (50, 1))
     healthy = rng.normal(size=(50, 8)).astype(np.float32)
