@@ -115,6 +115,11 @@ def _load_last_known():
                 if not line:
                     continue
                 rec = json.loads(line)
+                if rec.get("cached"):
+                    # never re-emit a line that was itself a cached re-emit:
+                    # its value is stale by >=2 rounds and the provenance
+                    # note would compound
+                    continue
                 known[rec["metric"]] = rec
     except (OSError, ValueError, KeyError):
         pass
@@ -135,9 +140,9 @@ def _emit_cached(metric):
         return False
     line = dict(known)
     line["cached"] = True
-    line["detail"] = (f"{known.get('detail', '')} (cached from "
-                      f"{_LAST_KNOWN_ARTIFACT}; skipped this run by the "
-                      f"compile-time budget)")
+    # provenance as its own key; detail stays the measurement's own note
+    line["cached_from"] = (f"{_LAST_KNOWN_ARTIFACT} (skipped this run by "
+                           f"the compile-time budget)")
     print(json.dumps(line), flush=True)
     return True
 

@@ -106,14 +106,18 @@ class Config:
     # p99 226 vs 1061); the 128-batch tier measured strictly worse at 128
     # clients (BASELINE.md round-3 serving table).
     serve_max_delay_ms: float = 5.0
-    # Candidate scorer for serving. "dense" (default) scores the WHOLE
-    # corpus cache with one matmul then gathers the candidates — measured
-    # fastest at MIND-scale corpora both device-level (107.8k vs 66.1k
-    # impressions/s at 65k docs, BENCH_full_r03.json) and through HTTP
-    # (406 vs 388 req/s at the sweep-chosen coalescing defaults). Its cost
-    # grows with corpus size; "gather" (random candidate-row gather,
-    # cost ~ candidates only) wins for corpora far beyond ~100k docs.
-    serve_scorer: str = "dense"
+    # Candidate scorer for serving. "dense" scores the WHOLE corpus cache
+    # with one matmul then gathers the candidates; "gather" random-gathers
+    # only the candidate rows. Round-4 device-level sweep
+    # (tools/bench_scorer_crossover.py, B=512, C=300, f32, one v5e chip):
+    #   rows     gather       dense
+    #   65,536   62.8k/s      107.5k/s   (dense +71%)
+    #   262,144  58.0k/s       73.1k/s   (dense +26%)
+    #   1,048,576 38.5k/s      35.8k/s   (gather +7%)
+    # log-interpolated crossover ~750k rows. "auto" (default) picks dense
+    # while the cache has <= serve_dense_max_rows rows, else gather.
+    serve_scorer: str = "auto"
+    serve_dense_max_rows: int = 524288  # "auto" flips to gather above this
     serve_cache_dtype: str = "float32"  # "bfloat16" halves cache HBM traffic
     deterministic: bool = False  # disable dropout everywhere (test/debug mode)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN/Inf
@@ -151,7 +155,7 @@ class Config:
                 f"unknown embedding_backend {self.embedding_backend!r}")
         if self.tokenizer not in ("treebank", "regex"):
             raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
-        if self.serve_scorer not in ("gather", "dense"):
+        if self.serve_scorer not in ("auto", "gather", "dense"):
             raise ValueError(f"unknown serve_scorer {self.serve_scorer!r}")
         if self.serve_cache_dtype not in ("float32", "bfloat16"):
             raise ValueError(

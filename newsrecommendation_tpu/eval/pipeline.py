@@ -111,10 +111,19 @@ def doc_sim_probe(news_scoring, num_pairs: int = 1_000_000,
 
 
 def make_eval_step(model, cfg):
-    """One jitted eval computation per fixed-shape impression batch."""
+    """One jitted eval computation per fixed-shape impression batch.
+
+    CONTRACT: eval_step may read ONLY params["user_encoder"] — phase 2
+    scores from the news cache, never the embedding table or the news
+    encoder (the table may be row-sharded across processes and is not
+    fetchable; the multi-controller path below passes a params dict
+    holding nothing else). A model whose user path needs other subtrees
+    must extend that path, not silently read more here.
+    """
 
     @jax.jit
     def eval_step(params, news_scoring, batch):
+        params = {"user_encoder": params["user_encoder"]}  # enforce contract
         hist_vecs = jnp.take(news_scoring, batch["history"], axis=0)
         user_vecs = model.user_encoder(params, cfg, hist_vecs,
                                        batch["history_mask"])

@@ -131,6 +131,11 @@ _BWD_RESIDUALS = "probs"  # "recompute" | "probs"
 
 
 def set_bwd_residuals(mode: str) -> None:
+    """TRACE-TIME ONLY (like set_pallas_mode): the value is read when a
+    step is traced and is NOT part of any jit cache key — calling this
+    after a step has been jitted does nothing for that compiled step.
+    Set it before building steps, or retrace (new jit / cfg change) after.
+    kbench/bench_step retrace per variant for exactly this reason."""
     global _BWD_RESIDUALS
     if mode not in ("recompute", "probs"):
         raise ValueError(f"unknown bwd_residuals mode {mode!r}")
@@ -155,6 +160,8 @@ def qkv_block_rows() -> int:
 
 
 def set_qkv_block_rows(n: int) -> None:
+    """TRACE-TIME ONLY — see set_bwd_residuals; no effect on already-jitted
+    steps."""
     global _QKV_BLOCK_ROWS
     if n < 8:
         raise ValueError(f"qkv block_rows must be >= 8, got {n}")

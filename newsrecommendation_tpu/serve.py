@@ -36,13 +36,15 @@ _CACHE_ROW_BUCKET = 4096
 class Recommender:
     """Whole-corpus news-vector cache + jitted impression scorer.
 
-    scorer: "gather" (random candidate-row gather; best for small request
-    batches) or "dense" (whole-corpus matmul + scalar gather; best for
-    large batches — see ops/scoring.py docstrings and the bench.py QPS A/B).
+    scorer: "gather" (random candidate-row gather; cost ~ candidates only),
+    "dense" (whole-corpus matmul + scalar gather; MXU-streaming), or "auto"
+    (default): dense while the corpus has <= cfg.serve_dense_max_rows rows,
+    gather above — the measured crossover is ~750k rows (config.py table,
+    tools/bench_scorer_crossover.py).
     """
 
     def __init__(self, model, params, cfg, news_index: Dict[str, int],
-                 news_scoring, scorer: str = "dense",
+                 news_scoring, scorer: str = "auto",
                  cache_dtype: Optional[str] = None):
         self.model = model
         self.params = params
@@ -65,6 +67,17 @@ class Recommender:
         # lifted off another Recommender) would otherwise inflate
         # _real_rows and let zero pad rows leak into corpus-wide top-k.
         cache = np.asarray(news_scoring)
+        # _real_rows assumes a DENSE 1-based index (mind.py's builder
+        # guarantees it); a gapped index would mask real rows out of
+        # corpus-wide top-k, an explicit 0 would collide with the
+        # unknown-news row — fail loudly instead
+        if news_index:
+            vals = news_index.values()
+            if max(vals) != len(news_index) or min(vals) < 1:
+                raise ValueError(
+                    "news_index must be a dense 1-based mapping "
+                    f"(got {len(news_index)} ids spanning "
+                    f"[{min(vals)}, {max(vals)}])")
         self._real_rows = len(news_index) + 1  # + row 0 (unknown news)
         if cache.shape[0] < self._real_rows:
             raise ValueError(
@@ -76,8 +89,12 @@ class Recommender:
                 [cache, np.zeros((pad, cache.shape[1]), cache.dtype)])
         cache = jnp.asarray(cache)  # one host->device transfer
         self.news_scoring = cache.astype(cache_dtype) if cache_dtype else cache
-        if scorer not in ("gather", "dense"):
+        if scorer not in ("auto", "gather", "dense"):
             raise ValueError(f"unknown scorer {scorer!r}")
+        if scorer == "auto":
+            max_rows = getattr(cfg, "serve_dense_max_rows", 524288)
+            scorer = "dense" if self._real_rows <= max_rows else "gather"
+        self.scorer = scorer
         self._scorer = (score_cached_impressions if scorer == "gather"
                         else score_cached_impressions_dense)
         self._score_jit = jax.jit(self._score_impl)

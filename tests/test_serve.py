@@ -114,3 +114,38 @@ def test_recommend_topk_over_corpus(trained):
     best_sampled = float(np.max(rec.score(history, sample)))
     top_score = float(rec.score(history, [top[0]])[0])
     assert top_score >= best_sampled - 1e-5
+
+
+def test_auto_scorer_picks_by_corpus_size(trained):
+    """serve_scorer="auto": dense below serve_dense_max_rows, gather above
+    (crossover measured ~750k rows, tools/bench_scorer_crossover.py)."""
+    from newsrecommendation_tpu.ops.scoring import (
+        score_cached_impressions,
+        score_cached_impressions_dense,
+    )
+
+    cfg, ckpt, data_dir = trained
+    rec = Recommender.from_checkpoint(ckpt, cfg, data_dir)
+    small = Recommender(rec.model, rec.params, cfg, rec.news_index,
+                        rec.news_scoring, scorer="auto")
+    assert small.scorer == "dense"
+    assert small._scorer is score_cached_impressions_dense
+    big = Recommender(rec.model, rec.params,
+                      cfg.replace(serve_dense_max_rows=10), rec.news_index,
+                      rec.news_scoring, scorer="auto")
+    assert big.scorer == "gather"
+    assert big._scorer is score_cached_impressions
+
+
+def test_gapped_news_index_rejected(trained):
+    cfg, ckpt, data_dir = trained
+    rec = Recommender.from_checkpoint(ckpt, cfg, data_dir)
+    gapped = dict(rec.news_index)
+    k = next(iter(gapped))
+    gapped[k] = len(gapped) + 5  # hole in the 1-based range
+    with pytest.raises(ValueError, match="dense 1-based"):
+        Recommender(rec.model, rec.params, cfg, gapped, rec.news_scoring)
+    zeroed = dict(rec.news_index)
+    zeroed[k] = 0  # collides with the unknown-news row
+    with pytest.raises(ValueError, match="dense 1-based"):
+        Recommender(rec.model, rec.params, cfg, zeroed, rec.news_scoring)
