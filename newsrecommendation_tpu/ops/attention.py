@@ -122,8 +122,11 @@ def _fused_qkv(params, x):
     w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1).astype(x.dtype)
     bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
     n, s, dm = x.shape
-    qkv_raw = jnp.matmul(x.reshape(n * s, dm), w).reshape(n, s, -1)
-    return (qkv_raw, bias,
+    # the NATIVE 2-D dot output — consumers that need the 3-D view reshape
+    # it themselves; the "2d"-I/O kernel path consumes this directly (no
+    # (N,S,3HD) tensor is ever traced there, so no relayout can appear)
+    qkv_2d = jnp.matmul(x.reshape(n * s, dm), w)
+    return (qkv_2d, (n, s), bias,
             wq["w"].shape[1], wk["w"].shape[1], wv["w"].shape[1])
 
 
@@ -141,7 +144,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
     """
     from newsrecommendation_tpu.ops.common import dropout as _dropout
 
-    qkv_raw, bias, nq, nk, nv = _fused_qkv(mhsa_params, x)
+    qkv_2d, (bx, sx), bias, nq, nk, nv = _fused_qkv(mhsa_params, x)
     use_dropout = (not deterministic) and drop_rate > 0.0
 
     if nq == nk == nv and nq % n_heads == 0:
@@ -149,7 +152,7 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
             fused_tail_enabled,
         )
         if fused_tail_enabled(n_heads):
-            qkv = qkv_raw + bias
+            qkv = qkv_2d.reshape(bx, sx, qkv_2d.shape[-1]) + bias
             from newsrecommendation_tpu.ops.pallas.experimental_fused_encoder import (
                 exp_mhsa_pool,
                 exp_mhsa_pool_masked,
@@ -170,7 +173,8 @@ def mhsa_dropout_pool(mhsa_params, pool_params, x, mask=None, *,
                                         b1, w2, b2, seed, n_heads,
                                         float(drop_rate), not use_dropout)
 
-    ctx = _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask, n_heads=n_heads)
+    ctx = _mhsa_from_qkv(qkv_2d, (bx, sx), bias, nq, nk, nv, mask,
+                         n_heads=n_heads)
     if use_dropout:
         ctx = _dropout(rng, ctx, drop_rate, deterministic)
     return attention_pooling(pool_params, ctx, mask)
@@ -196,18 +200,22 @@ def multi_head_self_attention(params, x, mask=None, *, n_heads: int):
     retrace) — call ``jax.clear_caches()`` after ``set_attention_layout``
     etc., or set them before the first jitted call (cli.main does).
     """
-    qkv_raw, bias, nq, nk, nv = _fused_qkv(params, x)
-    return _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask, n_heads=n_heads)
+    qkv_2d, (b, s), bias, nq, nk, nv = _fused_qkv(params, x)
+    return _mhsa_from_qkv(qkv_2d, (b, s), bias, nq, nk, nv, mask,
+                          n_heads=n_heads)
 
 
-def _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask=None, *, n_heads: int):
+def _mhsa_from_qkv(qkv_2d, bs, bias, nq, nk, nv, mask=None, *, n_heads: int):
     """Dispatch MHSA over the un-biased fused projection output.
 
-    The fused-qkv Pallas kernels fold the bias add in VMEM
-    (exp_mhsa_qkv_bias*, saving the standalone (N,S,3·H·d) HBM round
-    trip); every other path materializes ``qkv_raw + bias`` first.
+    qkv_2d: the projection's native (B*S, nq+nk+nv) dot output; each branch
+    reshapes to 3-D only if its kernel wants that layout. The fused-qkv
+    Pallas kernels fold the bias add in VMEM (exp_mhsa_qkv_bias*, saving
+    the standalone (N,S,3·H·d) HBM round trip); every other path
+    materializes ``qkv_raw + bias`` first.
     """
-    b, s, _ = qkv_raw.shape
+    b, s = bs
+    qkv_raw = qkv_2d.reshape(b, s, qkv_2d.shape[-1])
 
     if nq % n_heads == 0:
         from newsrecommendation_tpu.ops.pallas import pallas_enabled
@@ -251,10 +259,20 @@ def _mhsa_from_qkv(qkv_raw, bias, nq, nk, nv, mask=None, *, n_heads: int):
                     exp_mhsa_qkv_bias_masked,
                 )
                 from newsrecommendation_tpu.ops.pallas.config import (
+                    attention_io,
                     qkv_block_rows,
                 )
                 br = qkv_block_rows()
                 if mask is None:
+                    if attention_io() == "2d":
+                        # native 2-D projection output straight into the
+                        # kernel: the (B,S,3HD) tensor is never traced, so
+                        # the T=20 relayout copy cannot exist (qkv2d.py)
+                        from newsrecommendation_tpu.ops.pallas.qkv2d import (
+                            exp_mhsa_qkv_bias_2d,
+                        )
+                        return exp_mhsa_qkv_bias_2d(qkv_2d, bias, n_heads,
+                                                    s, br)
                     return exp_mhsa_qkv_bias(qkv_raw, bias, n_heads, br)
                 return exp_mhsa_qkv_bias_masked(qkv_raw, bias,
                                                 mask.astype(jnp.float32),

@@ -93,6 +93,27 @@ def attention_layout() -> str:
     return _ATTN_LAYOUT
 
 
+# Kernel I/O layout for the fused-QKV attention kernels. "2d" feeds the
+# QKV projection's NATIVE 2-D dot output (N*T, 3HD) straight into the
+# kernel and regroups sublanes in VMEM (ops/pallas/qkv2d.py) — eliding the
+# (N,T,3HD) relayout copy XLA otherwise inserts (the T=20 tiling tax,
+# docs/PERF.md). Unmasked paths only; masked MHSA keeps the 3-D kernels.
+_ATTN_IO = "3d"  # "3d" | "2d"
+
+
+def set_attention_io(mode: str) -> None:
+    """TRACE-TIME ONLY — see set_bwd_residuals; no effect on already-jitted
+    steps."""
+    global _ATTN_IO
+    if mode not in ("3d", "2d"):
+        raise ValueError(f"unknown attention io {mode!r}")
+    _ATTN_IO = mode
+
+
+def attention_io() -> str:
+    return _ATTN_IO
+
+
 # Sequence length at which MHSA dispatch switches from the full-T kernels
 # (one (bn, T, T) score block per head in VMEM) to the key-axis blockwise
 # flash kernel (ops/pallas/blockwise.py). Below this the full-T kernels win

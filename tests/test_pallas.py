@@ -911,3 +911,83 @@ def test_block_rows_respect_vmem_budget():
     # bf16 headline shapes: exactly the blocks the round-3 A/B measured
     assert _capped_block_rows(7040, 256, 20, 1200, 400, 2) == 176
     assert _capped_block_rows(7040, 128, 20, 2800, 400, 2) == 128
+
+
+class TestQkv2dIO:
+    """2-D-I/O kernel variant (ops/pallas/qkv2d.py): same math as
+    exp_mhsa_qkv_bias, operand layouts differ (the T=20 tiling-tax fix)."""
+
+    def test_fwd_matches_3d_kernel(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_qkv_bias
+        from newsrecommendation_tpu.ops.pallas.qkv2d import (
+            exp_mhsa_qkv_bias_2d,
+        )
+
+        n, t, h, d = 64, 20, 4, 20
+        w3 = 3 * h * d
+        qkv3 = jnp.asarray(rng.normal(size=(n, t, w3)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(w3,)).astype(np.float32))
+        o3 = exp_mhsa_qkv_bias(qkv3, bias, h, 16)
+        o2 = exp_mhsa_qkv_bias_2d(qkv3.reshape(n * t, w3), bias, h, t, 16)
+        np.testing.assert_array_equal(np.asarray(o2), np.asarray(o3))
+
+    def test_grads_match_3d_kernel(self, rng):
+        from newsrecommendation_tpu.ops.pallas import exp_mhsa_qkv_bias
+        from newsrecommendation_tpu.ops.pallas.config import (
+            set_bwd_residuals,
+        )
+        from newsrecommendation_tpu.ops.pallas.qkv2d import (
+            exp_mhsa_qkv_bias_2d,
+        )
+
+        set_bwd_residuals("probs")
+        try:
+            n, t, h, d = 32, 10, 3, 8
+            w3 = 3 * h * d
+            qkv3 = jnp.asarray(
+                rng.normal(size=(n, t, w3)).astype(np.float32))
+            bias = jnp.asarray(rng.normal(size=(w3,)).astype(np.float32))
+
+            g3 = jax.grad(lambda q, b: jnp.sum(jnp.tanh(
+                exp_mhsa_qkv_bias(q, b, h, 8))), argnums=(0, 1))(qkv3, bias)
+            g2 = jax.grad(lambda q, b: jnp.sum(jnp.tanh(
+                exp_mhsa_qkv_bias_2d(q, b, h, t, 8))), argnums=(0, 1))(
+                qkv3.reshape(n * t, w3), bias)
+            # dqkv is bit-identical math; dbias differs only in reduction
+            # order (sum over one flat axis vs two)
+            np.testing.assert_array_equal(np.asarray(g2[0]),
+                                          np.asarray(g3[0]).reshape(n * t, w3))
+            np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g3[1]),
+                                       rtol=1e-5, atol=1e-5)
+        finally:
+            set_bwd_residuals("probs")
+
+    def test_mhsa_2d_io_mode_matches(self, rng):
+        """attention_io("2d") routes multi_head_self_attention through the
+        2-D-I/O kernel with identical results (unmasked path)."""
+        from newsrecommendation_tpu.ops import (
+            init_multi_head_self_attention,
+        )
+        from newsrecommendation_tpu.ops.attention import (
+            multi_head_self_attention,
+        )
+        from newsrecommendation_tpu.ops.pallas.config import set_attention_io
+
+        p = init_multi_head_self_attention(jax.random.PRNGKey(3), 60, 3, 20)
+        x = jnp.asarray(rng.normal(size=(16, 20, 60)).astype(np.float32))
+        want = multi_head_self_attention(p, x, None, n_heads=3)
+        set_attention_io("2d")
+        try:
+            got = multi_head_self_attention(p, x, None, n_heads=3)
+        finally:
+            set_attention_io("3d")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # masked path falls back to the 3-D kernels under "2d" mode
+        m = jnp.asarray((rng.random((16, 20)) > 0.3).astype(np.float32))
+        want_m = multi_head_self_attention(p, x, m, n_heads=3)
+        set_attention_io("2d")
+        try:
+            got_m = multi_head_self_attention(p, x, m, n_heads=3)
+        finally:
+            set_attention_io("3d")
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
