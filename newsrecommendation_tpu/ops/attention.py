@@ -108,16 +108,15 @@ def init_multi_head_self_attention(key, d_model: int, n_heads: int, d_k: int,
 
 def _fused_qkv(params, x):
     """One (d_model, 3*H*d) projection matmul instead of three (see
-    multi_head_self_attention). Returns (qkv_raw, bias, nq, nk, nv) with
-    the bias NOT yet added — the Pallas qkv kernels fold it in VMEM
+    multi_head_self_attention). Returns (qkv_2d, (n, s), bias, nq, nk, nv)
+    with the bias NOT yet added — the Pallas qkv kernels fold it in VMEM
     (exp_mhsa_qkv_bias*), every other consumer adds it up front.
 
-    The matmul runs on the 2-D (N*S, d_model) view: XLA's layout
-    assignment gives a plain 2-D dot a row-major output that bitcasts to
-    the (N, S, 3·H·d) row-major layout the kernels want, where the 3-D
-    formulation picked a batch-minor dot output and inserted a full
-    relayout copy of the (N, S, 3·H·d) tensor (1.3 ms/step at the bench
-    shape — docs/PERF.md)."""
+    The matmul runs on the 2-D (N*S, d_model) view and the 2-D output is
+    returned as-is: consumers that want the (N, S, 3·H·d) view reshape it
+    themselves (with T=20 that reshape is a physical relayout — the tiling
+    tax, docs/PERF.md — so the "2d" attention_io path avoids ever tracing
+    the 3-D form)."""
     wq, wk, wv = params["wq"], params["wk"], params["wv"]
     w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1).astype(x.dtype)
     bias = jnp.concatenate([wq["b"], wk["b"], wv["b"]]).astype(x.dtype)
@@ -268,7 +267,7 @@ def _mhsa_from_qkv(qkv_2d, bs, bias, nq, nk, nv, mask=None, *, n_heads: int):
                         # native 2-D projection output straight into the
                         # kernel: the (B,S,3HD) tensor is never traced, so
                         # the T=20 relayout copy cannot exist (qkv2d.py)
-                        from newsrecommendation_tpu.ops.pallas.qkv2d import (
+                        from newsrecommendation_tpu.ops.pallas.experimental_qkv2d import (
                             exp_mhsa_qkv_bias_2d,
                         )
                         return exp_mhsa_qkv_bias_2d(qkv_2d, bias, n_heads,

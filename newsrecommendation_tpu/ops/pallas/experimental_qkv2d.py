@@ -19,8 +19,15 @@ _qkv_bwd_probs_kernel (the reference's exp/mask/+1e-8 normalization,
 model_utils.py:47-53, max-shift-stabilized); only operand layouts differ.
 Saved-probs backward only (the production default — PERF.md r3 A/B).
 
-Status: EXPERIMENTAL until the TPU A/B lands (tools/kbench_attention.py
-variant "qkv2d"); promoted to dispatch via config.attention_io.
+Status: MEASURED REJECTION (round 4, TPU v5e, kbench_attention
+--variants headloop,qkv2d, N=7040 bf16): forward 20.94 ms vs the 3-D
+headloop's 10.93 ms — outputs bit-identical, but Mosaic lowers the
+whole-block (bn*T, W) -> (bn, T, W) VMEM reshape as a slow copy (~9 ms
+per pass, ~7x the HBM relayout it was meant to replace) and the forward
+alone cost ~25 min of Mosaic lowering. The relayout tax is cheaper paid
+in HBM than regrouped in VMEM at these shapes. Kept (with interpret-mode
+bit-equality tests) as the recorded experiment; dispatch stays "3d"
+(config.attention_io). See docs/PERF.md round 4.
 """
 
 from __future__ import annotations

@@ -919,7 +919,7 @@ class TestQkv2dIO:
 
     def test_fwd_matches_3d_kernel(self, rng):
         from newsrecommendation_tpu.ops.pallas import exp_mhsa_qkv_bias
-        from newsrecommendation_tpu.ops.pallas.qkv2d import (
+        from newsrecommendation_tpu.ops.pallas.experimental_qkv2d import (
             exp_mhsa_qkv_bias_2d,
         )
 
@@ -936,7 +936,7 @@ class TestQkv2dIO:
         from newsrecommendation_tpu.ops.pallas.config import (
             set_bwd_residuals,
         )
-        from newsrecommendation_tpu.ops.pallas.qkv2d import (
+        from newsrecommendation_tpu.ops.pallas.experimental_qkv2d import (
             exp_mhsa_qkv_bias_2d,
         )
 

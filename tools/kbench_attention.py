@@ -68,7 +68,7 @@ def main():
         ctx = (attn[..., None].astype(v.dtype) * v[:, None]).sum(2)
         return ctx.reshape(n, t, hd)
 
-    from newsrecommendation_tpu.ops.pallas.qkv2d import exp_mhsa_qkv_bias_2d
+    from newsrecommendation_tpu.ops.pallas.experimental_qkv2d import exp_mhsa_qkv_bias_2d
 
     zero_bias = jnp.zeros((3 * h * d,), dt)
 
