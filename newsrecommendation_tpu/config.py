@@ -88,6 +88,10 @@ class Config:
     max_candidates: int = 384  # impression padding width at eval (MIND dev max ~300)
     donate_state: bool = True
     steps_per_call: int = 1  # k>1: lax.scan k optimizer steps per dispatch
+    # Host batches staged ahead of the device by a background thread
+    # (train/prefetch.py): batch gather + device_put for step N+1 overlap
+    # the device executing step N. 0 disables (inline host path).
+    prefetch_depth: int = 2
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
     fused_tail: str = "auto"  # "auto" | "on" | "off" — fused MHSA+pool kernel
     attention_layout: str = "headloop"  # "headloop" | "blanes" in-kernel layout
@@ -163,6 +167,9 @@ class Config:
         if self.steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, "
                              f"got {self.steps_per_call}")
+        if self.prefetch_depth < 0:
+            raise ValueError(f"prefetch_depth must be >= 0, "
+                             f"got {self.prefetch_depth}")
 
     @property
     def dim_per_head(self) -> int:

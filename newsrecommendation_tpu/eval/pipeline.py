@@ -26,6 +26,7 @@ import numpy as np
 
 from newsrecommendation_tpu.metrics import impression_metrics
 from newsrecommendation_tpu.ops.scoring import score_cached_impressions
+from newsrecommendation_tpu.train.prefetch import stage_ahead
 
 
 def compute_news_scoring(model, params, cfg, news_features: np.ndarray,
@@ -233,25 +234,38 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
         batch_sharding = NamedSharding(mesh, P("data"))
     else:
         news_scoring = jnp.asarray(news_scoring)
-    sums = {k: 0.0 for k in ("auc", "mrr", "ndcg5", "ndcg10", "count")}
+    metric_keys = ("auc", "mrr", "ndcg5", "ndcg10", "count")
+    # Device-side accumulation: fetching float(out[k]) every batch would
+    # block the dispatch thread on each step's result, serializing host
+    # padding with device compute. Instead the scalar sums stay on device
+    # (one tiny fused add per batch) and are fetched once at the end — and
+    # at log points, the only places a host value is actually needed.
+    sums_dev = {k: jnp.zeros(()) for k in metric_keys}
     seen = 0
-    for cnt, batch in enumerate(eval_samples.iter_batches(cfg.eval_batch_size)):
-        dev_batch = {
+
+    def stage(batch):
+        dev = {
             k: (jnp.asarray(v) if batch_sharding is None
                 else jax.device_put(v, batch_sharding))
             for k, v in batch.items() if k != "num_real"
         }
+        return dev, batch["num_real"]
+
+    staged = stage_ahead(eval_samples.iter_batches(cfg.eval_batch_size),
+                         stage, depth=getattr(cfg, "prefetch_depth", 2))
+    for cnt, (dev_batch, num_real) in enumerate(staged):
         out = eval_step(params, news_scoring, dev_batch)
-        for k in sums:
-            sums[k] += float(out[k])
-        seen += batch["num_real"]
+        sums_dev = {k: sums_dev[k] + out[k] for k in metric_keys}
+        seen += num_real
         if log_every and cnt % log_every == 0:
-            c = max(sums["count"], 1.0)
+            snap = {k: float(v) for k, v in sums_dev.items()}  # sync point
+            c = max(snap["count"], 1.0)
             logging.info(
                 "[eval] %d samples: AUC %.2f MRR %.2f nDCG5 %.2f nDCG10 %.2f",
-                seen, 100 * sums["auc"] / c, 100 * sums["mrr"] / c,
-                100 * sums["ndcg5"] / c, 100 * sums["ndcg10"] / c,
+                seen, 100 * snap["auc"] / c, 100 * snap["mrr"] / c,
+                100 * snap["ndcg5"] / c, 100 * snap["ndcg10"] / c,
             )
+    sums = {k: float(v) for k, v in sums_dev.items()}
     if return_sums:
         sums["samples_seen"] = float(seen)
         return sums

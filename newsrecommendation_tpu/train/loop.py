@@ -4,8 +4,10 @@ periodic logging with throughput counters, and checkpointing.
 Parity with the reference loop (main.py:95-142): per-epoch iteration,
 loss/accuracy logging every log_steps, mid-epoch checkpoints every
 save_steps, and an end-of-epoch checkpoint. Additions the reference lacks:
-examples/sec and steps/sec counters (BASELINE.md first-class metrics) and
-optional jax.profiler traces.
+examples/sec and steps/sec counters (BASELINE.md first-class metrics),
+optional jax.profiler traces, and background host->device batch staging
+(train/prefetch.py; cfg.prefetch_depth) that overlaps batch construction
+with device compute.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from newsrecommendation_tpu.parallel.mesh import (
     shard_batch,
     shard_stacked_batch,
 )
+from newsrecommendation_tpu.train.prefetch import stage_ahead
 from newsrecommendation_tpu.train.step import make_multi_step, make_train_step
 
 
@@ -99,46 +102,54 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
             save_checkpoint(save_dir, f"epoch-{ep + 1}-{cnt}.ckpt",
                             state, cfg, **vocabs)
 
+    depth = getattr(cfg, "prefetch_depth", 2)
+
+    def grouped(ep):
+        """Group host batches into k-stacks; leftovers yield singly."""
+        pending = []
+        for batch in samples.iter_batches(news_features, cfg.batch_size,
+                                          epoch=ep, seed=cfg.seed):
+            if k == 1:
+                yield "single", [batch]
+                continue
+            pending.append(batch)
+            if len(pending) == k:
+                yield "stack", pending
+                pending = []
+        for batch in pending:  # < k leftovers at epoch end: 1-step path
+            yield "single", [batch]
+
+    def stage(item):
+        """Host gather is already done; device_put on the worker thread."""
+        kind, batches = item
+        n_examples = [int(b["weight"].sum()) for b in batches]
+        if kind == "stack":
+            stacked = {key: np.stack([b[key] for b in batches])
+                       for key in batches[0]}
+            return kind, shard_stacked_batch(mesh, stacked), n_examples
+        return kind, shard_batch(mesh, batches[0]), n_examples
+
     try:
         for ep in range(cfg.start_epoch, cfg.epochs):
             cnt = -1
-            pending = []  # host batches awaiting a k-step dispatch
-            for batch in samples.iter_batches(news_features, cfg.batch_size,
-                                              epoch=ep, seed=cfg.seed):
-                if k == 1:
+            for kind, dev, n_examples in stage_ahead(grouped(ep), stage,
+                                                     depth=depth):
+                if kind == "single":
                     cnt += 1
-                    dev_batch = shard_batch(mesh, batch)
-                    state, metrics = train_step(state, dev_batch, base_rng)
+                    state, metrics = train_step(state, dev, base_rng)
                     after_step(ep, cnt,
                                lambda: float(metrics["loss"]),
                                lambda: float(metrics["acc"]),
-                               int(batch["weight"].sum()))
+                               n_examples[0])
                     continue
-                pending.append(batch)
-                if len(pending) < k:
-                    continue
-                stacked = {key: np.stack([b[key] for b in pending])
-                           for key in pending[0]}
-                dev = shard_stacked_batch(mesh, stacked)
                 state, ms = multi_step(state, dev, base_rng)
                 metrics = {"loss": ms["loss"][-1], "acc": ms["acc"][-1]}
-                for j, b in enumerate(pending):
+                for j, n in enumerate(n_examples):
                     cnt += 1
                     after_step(ep, cnt,
                                lambda j=j: float(ms["loss"][j]),
                                lambda j=j: float(ms["acc"][j]),
-                               int(b["weight"].sum()))
-                pending = []
-
-            # leftover (< k) batches at epoch end go through the 1-step path
-            for batch in pending:
-                cnt += 1
-                dev_batch = shard_batch(mesh, batch)
-                state, metrics = train_step(state, dev_batch, base_rng)
-                after_step(ep, cnt,
-                           lambda: float(metrics["loss"]),
-                           lambda: float(metrics["acc"]),
-                           int(batch["weight"].sum()))
+                               n)
 
             logging.info("epoch %d finished", ep)
             if save_dir:

@@ -1,0 +1,119 @@
+"""Full-loop train throughput: host data path + device step, end to end.
+
+bench_step.py measures the device-only step; the CLI hardware runs showed
+the in-loop number sits below it (host batch gather + device_put on the
+dispatch thread — docs/PERF.md "Hardware integration runs": ~3,200 vs
+3,578 ex/s for trainable NRMS). This harness measures fit() itself on a
+production-dims synthetic corpus so host-path changes (cfg.prefetch_depth)
+are A/B-able in one process.
+
+    python tools/bench_loop.py --model NRMS --freeze --prefetch 0,2
+    python tools/bench_loop.py --model NRMS --trainable --prefetch 0,2
+
+Prints one JSON line per (config, prefetch_depth) with examples_per_sec
+as measured by the loop's own counters (first log-window excluded, so
+compile time does not pollute the rate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_data(root: str, num_news: int, num_impressions: int, npratio: int):
+    from newsrecommendation_tpu.config import Config
+    from newsrecommendation_tpu.data import (
+        TrainSamples, build_news_features, prepare_training_data, read_news,
+    )
+    from newsrecommendation_tpu.data.synthetic import generate_corpus
+
+    train_dir = os.path.join(root, "train")
+    generate_corpus(train_dir, num_news=num_news, num_users=300,
+                    num_impressions=num_impressions, num_topics=12,
+                    title_len=18, max_history=50,
+                    candidates_per_impression=12, seed=3, split="train")
+    cfg = Config(model="NRMS", title_source="word_ids", npratio=npratio,
+                 prepare=True)
+    prepare_training_data(train_dir, 1, npratio, 0)
+    corpus = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
+    feats = build_news_features(corpus, cfg)
+    samples = TrainSamples.from_file(
+        os.path.join(train_dir, f"behaviors_np{npratio}_0.tsv"),
+        corpus.news_index, cfg)
+    return corpus, feats, samples
+
+
+def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
+            prefetch: int, epochs: int, batch_size: int, dtype: str):
+    import jax
+    import numpy as np
+
+    from newsrecommendation_tpu.config import Config
+    from newsrecommendation_tpu.models import get_model
+    from newsrecommendation_tpu.train.loop import fit
+    from newsrecommendation_tpu.train.state import create_train_state
+
+    cfg = Config(model=model_name, title_source="word_ids",
+                 freeze_embedding=freeze, batch_size=batch_size,
+                 compute_dtype=dtype, epochs=epochs, npratio=samples.npratio,
+                 log_steps=20, prefetch_depth=prefetch)
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    table = rng.normal(
+        size=(len(corpus.word_dict) + 1, cfg.word_embedding_dim),
+        scale=0.1).astype(np.float32)
+    table[0] = 0
+    state = create_train_state(cfg, model.init(jax.random.PRNGKey(0), cfg,
+                                               table))
+    state, stats = fit(cfg, model, state, samples, feats)
+    return stats
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="NRMS", choices=["NRMS", "NAML"])
+    p.add_argument("--freeze", action="store_true", default=True)
+    p.add_argument("--trainable", dest="freeze", action="store_false")
+    p.add_argument("--prefetch", default="0,2",
+                   help="comma list of prefetch_depth values to A/B")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--num_news", type=int, default=5000)
+    p.add_argument("--num_impressions", type=int, default=6000)
+    p.add_argument("--npratio", type=int, default=4)
+    args = p.parse_args(argv)
+
+    with tempfile.TemporaryDirectory() as root:
+        corpus, feats, samples = build_data(
+            root, args.num_news, args.num_impressions, args.npratio)
+        for depth in [int(x) for x in args.prefetch.split(",")]:
+            stats = run_one(args.model, feats, samples, corpus,
+                            freeze=args.freeze, prefetch=depth,
+                            epochs=args.epochs, batch_size=args.batch_size,
+                            dtype=args.dtype)
+            print(json.dumps({
+                "model": args.model,
+                "freeze": args.freeze,
+                "prefetch_depth": depth,
+                "train_samples": samples.num_samples,
+                "steps": stats["steps"],
+                "examples_per_sec": round(stats["examples_per_sec"], 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
