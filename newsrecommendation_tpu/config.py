@@ -110,6 +110,11 @@ class Config:
     # p99 226 vs 1061); the 128-batch tier measured strictly worse at 128
     # clients (BASELINE.md round-3 serving table).
     serve_max_delay_ms: float = 5.0
+    # Device batches in flight between the coalescing worker and the
+    # result-fetch completer (server.py BatchingScorer): collection and
+    # request encoding for batch N+1 overlap batch N's device round trip.
+    # 0 = synchronous dispatch (the pre-pipeline behavior).
+    serve_pipeline_depth: int = 2
     # Candidate scorer for serving. "dense" scores the WHOLE corpus cache
     # with one matmul then gathers the candidates; "gather" random-gathers
     # only the candidate rows. Round-4 device-level sweep

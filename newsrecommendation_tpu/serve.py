@@ -194,18 +194,27 @@ class Recommender:
             cand[i, :len(idx)] = idx
         return hist, mask, cand
 
-    def score_batch(self, histories: Sequence[Sequence[str]],
-                    candidates: Sequence[Sequence[str]],
-                    max_candidates: Optional[int] = None) -> np.ndarray:
-        """Scores (B, C) for B users' candidate lists (doc-id strings)."""
+    def score_batch_async(self, histories: Sequence[Sequence[str]],
+                          candidates: Sequence[Sequence[str]],
+                          max_candidates: Optional[int] = None) -> jax.Array:
+        """Dispatch scoring; returns the (B, C) DEVICE array without
+        blocking on the result. Callers that overlap multiple in-flight
+        batches (server.py's pipelined BatchingScorer) fetch later with
+        np.asarray; everyone else should use score_batch."""
         if max_candidates is None:
             max_candidates = max((len(c) for c in candidates), default=1)
         hist, mask, cand = self._encode_requests(histories, candidates,
                                                  max_candidates)
-        out = self._score_jit(self.params, self.news_scoring,
-                              jnp.asarray(hist), jnp.asarray(mask),
-                              jnp.asarray(cand))
-        return np.asarray(out)
+        return self._score_jit(self.params, self.news_scoring,
+                               jnp.asarray(hist), jnp.asarray(mask),
+                               jnp.asarray(cand))
+
+    def score_batch(self, histories: Sequence[Sequence[str]],
+                    candidates: Sequence[Sequence[str]],
+                    max_candidates: Optional[int] = None) -> np.ndarray:
+        """Scores (B, C) for B users' candidate lists (doc-id strings)."""
+        return np.asarray(self.score_batch_async(histories, candidates,
+                                                 max_candidates))
 
     def score(self, history: Sequence[str],
               candidates: Sequence[str]) -> np.ndarray:
@@ -227,6 +236,38 @@ class Recommender:
         ids, _ = self.recommend_batch([history], k)
         return ids[0]
 
+    def recommend_batch_async(self, histories: Sequence[Sequence[str]],
+                              k: int = 10):
+        """Dispatch corpus-wide top-k; returns (scores_dev, idx_dev)
+        device arrays without blocking. Finish on the host with
+        finish_recommend_batch once the caller is ready to block."""
+        L = self.cfg.user_log_length
+        b = len(histories)
+        hist = np.zeros((b, L), np.int32)
+        mask = np.zeros((b, L), np.float32)
+        for i, h in enumerate(histories):
+            row, m = pad_to_fix_len(trans_to_nindex(list(h),
+                                                    self.news_index), L)
+            hist[i], mask[i] = row, m
+        k = min(int(k), self._real_rows)
+        return self._topk_jit(
+            self.params, self.news_scoring,
+            jnp.asarray(self._real_rows, jnp.int32),
+            jnp.asarray(hist), jnp.asarray(mask), k)
+
+    def finish_recommend_batch(self, scores, idx):
+        """Blocking half of recommend_batch: fetch the device results and
+        map row indices back to doc-id strings (padding row 0 filtered)."""
+        idx, scores = np.asarray(idx), np.asarray(scores)
+        ids_out, scores_out = [], []
+        for r_idx, r_sc in zip(idx, scores):
+            pairs = [(self._inv_index[int(i)], float(s))
+                     for i, s in zip(r_idx, r_sc)
+                     if int(i) in self._inv_index]
+            ids_out.append([p[0] for p in pairs])
+            scores_out.append([p[1] for p in pairs])
+        return ids_out, scores_out
+
     def recommend_batch(self, histories: Sequence[Sequence[str]],
                         k: int = 10):
         """Batched corpus-wide top-k: (ids, scores), each a list of B
@@ -237,25 +278,5 @@ class Recommender:
         batch — the serving-path shape the micro-batching server
         (server.py) feeds. k is clamped to the corpus size (top_k cannot
         return more rows than exist)."""
-        L = self.cfg.user_log_length
-        b = len(histories)
-        hist = np.zeros((b, L), np.int32)
-        mask = np.zeros((b, L), np.float32)
-        for i, h in enumerate(histories):
-            row, m = pad_to_fix_len(trans_to_nindex(list(h),
-                                                    self.news_index), L)
-            hist[i], mask[i] = row, m
-        k = min(int(k), self._real_rows)
-        scores, idx = self._topk_jit(
-            self.params, self.news_scoring,
-            jnp.asarray(self._real_rows, jnp.int32),
-            jnp.asarray(hist), jnp.asarray(mask), k)
-        idx, scores = np.asarray(idx), np.asarray(scores)
-        ids_out, scores_out = [], []
-        for r_idx, r_sc in zip(idx, scores):
-            pairs = [(self._inv_index[int(i)], float(s))
-                     for i, s in zip(r_idx, r_sc)
-                     if int(i) in self._inv_index]
-            ids_out.append([p[0] for p in pairs])
-            scores_out.append([p[1] for p in pairs])
-        return ids_out, scores_out
+        scores, idx = self.recommend_batch_async(histories, k)
+        return self.finish_recommend_batch(scores, idx)

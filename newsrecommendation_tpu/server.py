@@ -112,7 +112,8 @@ class BatchingScorer:
     def __init__(self, rec, max_batch: int = 64, max_delay_ms: float = 2.0,
                  cand_buckets: Sequence[int] = (8, 32, 128, 384),
                  k_buckets: Sequence[int] = (16, 128),
-                 stats: Optional[ServerStats] = None):
+                 stats: Optional[ServerStats] = None,
+                 pipeline_depth: int = 2):
         self.rec = rec
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -131,6 +132,24 @@ class BatchingScorer:
         self.stats = stats or ServerStats()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        # Dispatch/completion pipeline: the collector thread encodes and
+        # DISPATCHES each device batch (async — jit returns device arrays
+        # immediately), then hands (reqs, device_out) to the completer,
+        # which blocks on the result fetch and distributes rows. With a
+        # synchronous worker the device+transfer round trip of batch N
+        # gated collection of batch N+1 (round-3 sweep: ~66 ms/batch,
+        # ~390 req/s ceiling at mean batch 27); with `pipeline_depth`
+        # batches in flight, collection+encode overlap the round trip.
+        # depth 0 restores the synchronous path (A/B, debugging).
+        self.pipeline_depth = int(pipeline_depth)
+        self._done_q: Optional["queue.Queue"] = None
+        self._completer = None
+        if self.pipeline_depth > 0:
+            self._done_q = queue.Queue(maxsize=self.pipeline_depth)
+            self._completer = threading.Thread(
+                target=self._complete_loop, daemon=True,
+                name="batching-scorer-completer")
+            self._completer.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="batching-scorer")
         self._worker.start()
@@ -168,6 +187,11 @@ class BatchingScorer:
         # unblock the worker's queue.get
         self._q.put(_Request("stop", []))
         self._worker.join(timeout=5)
+        if self._completer is not None:
+            # FIFO: the sentinel lands after any in-flight batches, so
+            # their callers still get results before the completer exits
+            self._done_q.put(None)
+            self._completer.join(timeout=10)
         # fail anything enqueued after the worker's own drain (the
         # _submit liveness re-check unblocks those callers regardless,
         # but deliver a clean error where possible)
@@ -189,7 +213,9 @@ class BatchingScorer:
         # between close()'s stop flag and the worker's final drain would
         # otherwise block its caller forever
         while not req.done.wait(timeout=0.5):
-            if self._stop.is_set() and not self._worker.is_alive():
+            if (self._stop.is_set() and not self._worker.is_alive()
+                    and (self._completer is None
+                         or not self._completer.is_alive())):
                 raise RuntimeError("BatchingScorer closed mid-request")
         if req.error is not None:
             raise req.error
@@ -244,14 +270,19 @@ class BatchingScorer:
         for (kind, width), reqs in groups.items():
             try:
                 if kind == "score":
-                    self._run_score(reqs, width)
+                    item = self._dispatch_score(reqs, width)
                 else:
-                    self._run_recommend(reqs, width)
+                    item = self._dispatch_recommend(reqs, width)
             except BaseException as e:  # deliver, don't kill the worker
                 self.stats.record_error()
                 for r in reqs:
                     r.error = e
                     r.done.set()
+                continue
+            if self._done_q is None:
+                self._complete(item)
+            else:
+                self._done_q.put(item)  # bounded: backpressure on dispatch
 
     def _pad_requests(self, reqs: List[_Request]):
         """Pad the request list itself up to a batch bucket (repeat row 0)."""
@@ -259,25 +290,50 @@ class BatchingScorer:
         bb = next_bucket(n, self.batch_buckets)
         return n, bb
 
-    def _run_score(self, reqs: List[_Request], cand_width: int):
+    def _dispatch_score(self, reqs: List[_Request], cand_width: int):
         n, bb = self._pad_requests(reqs)
         hists = [r.history for r in reqs] + [[]] * (bb - n)
         cands = ([list(r.candidates)[:cand_width] for r in reqs]
                  + [[]] * (bb - n))
         self.stats.record_batch(n)
-        out = self.rec.score_batch(hists, cands, max_candidates=cand_width)
-        for i, r in enumerate(reqs):
-            r.result = np.asarray(out[i][: len(r.candidates)])
-            r.done.set()
+        out = self.rec.score_batch_async(hists, cands,
+                                         max_candidates=cand_width)
+        return "score", reqs, out
 
-    def _run_recommend(self, reqs: List[_Request], k_width: int):
+    def _dispatch_recommend(self, reqs: List[_Request], k_width: int):
         n, bb = self._pad_requests(reqs)
         hists = [r.history for r in reqs] + [[]] * (bb - n)
         self.stats.record_batch(n)
-        ids, scores = self.rec.recommend_batch(hists, k=k_width)
-        for i, r in enumerate(reqs):
-            r.result = (ids[i][: r.k], scores[i][: r.k])
-            r.done.set()
+        scores, idx = self.rec.recommend_batch_async(hists, k=k_width)
+        return "recommend", reqs, (scores, idx)
+
+    def _complete(self, item):
+        """Blocking half: fetch device results, distribute rows, wake
+        callers. Runs on the completer thread when pipelining."""
+        kind, reqs, out = item
+        try:
+            if kind == "score":
+                host = np.asarray(out)
+                for i, r in enumerate(reqs):
+                    r.result = host[i][: len(r.candidates)].copy()
+                    r.done.set()
+            else:
+                ids, scores = self.rec.finish_recommend_batch(*out)
+                for i, r in enumerate(reqs):
+                    r.result = (ids[i][: r.k], scores[i][: r.k])
+                    r.done.set()
+        except BaseException as e:  # deliver, don't kill the completer
+            self.stats.record_error()
+            for r in reqs:
+                r.error = e
+                r.done.set()
+
+    def _complete_loop(self):
+        while True:
+            item = self._done_q.get()
+            if item is None:  # close() sentinel
+                break
+            self._complete(item)
 
 
 def _warm_buckets(rec, batcher: BatchingScorer) -> None:
@@ -419,7 +475,8 @@ class _Server(ThreadingHTTPServer):
 
 def serve(rec, host: str = "127.0.0.1", port: int = 8000,
           max_batch: int = 64, max_delay_ms: float = 2.0,
-          warmup: bool = True, rebuild=None) -> ThreadingHTTPServer:
+          warmup: bool = True, rebuild=None,
+          pipeline_depth: int = 2) -> ThreadingHTTPServer:
     """Start the HTTP recommender service; returns the (started) server.
 
     The caller owns shutdown: ``srv.shutdown(); srv.batcher.close()``.
@@ -430,7 +487,8 @@ def serve(rec, host: str = "127.0.0.1", port: int = 8000,
     returning a fresh Recommender) enables ``POST /reload`` hot swaps.
     """
     batcher = BatchingScorer(rec, max_batch=max_batch,
-                             max_delay_ms=max_delay_ms)
+                             max_delay_ms=max_delay_ms,
+                             pipeline_depth=pipeline_depth)
     if warmup:
         _warm_buckets(rec, batcher)
         batcher.score(["warmup"], ["warmup"])  # and the batcher path itself
@@ -510,7 +568,8 @@ def run_server(cfg, state=None, vocabs: Optional[dict] = None,
         rec = rebuild()
     srv = serve(rec, host=cfg.serve_host, port=cfg.serve_port,
                 max_batch=cfg.serve_max_batch,
-                max_delay_ms=cfg.serve_max_delay_ms, rebuild=rebuild)
+                max_delay_ms=cfg.serve_max_delay_ms, rebuild=rebuild,
+                pipeline_depth=cfg.serve_pipeline_depth)
     if not block:
         return srv
     try:

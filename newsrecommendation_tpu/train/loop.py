@@ -104,57 +104,70 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
 
     depth = getattr(cfg, "prefetch_depth", 2)
 
-    def grouped(ep):
-        """Group host batches into k-stacks; leftovers yield singly."""
-        pending = []
-        for batch in samples.iter_batches(news_features, cfg.batch_size,
-                                          epoch=ep, seed=cfg.seed):
-            if k == 1:
-                yield "single", [batch]
-                continue
-            pending.append(batch)
-            if len(pending) == k:
-                yield "stack", pending
-                pending = []
-        for batch in pending:  # < k leftovers at epoch end: 1-step path
-            yield "single", [batch]
+    def grouped():
+        """All epochs' host batches, k-stacked, with epoch-end markers.
+
+        One generator spanning the whole run (rather than one per epoch)
+        lets the prefetch worker run epoch N+1's `epoch_arrays` — the
+        vectorized positive-slot insertion, the largest single host cost —
+        while the device is still training on epoch N's tail. The
+        "epoch_end" marker rides the same FIFO queue, so the consumer
+        checkpoints at exactly the old epoch boundary.
+        """
+        for ep in range(cfg.start_epoch, cfg.epochs):
+            pending = []
+            for batch in samples.iter_batches(news_features, cfg.batch_size,
+                                              epoch=ep, seed=cfg.seed):
+                if k == 1:
+                    yield "single", ep, [batch]
+                    continue
+                pending.append(batch)
+                if len(pending) == k:
+                    yield "stack", ep, pending
+                    pending = []
+            for batch in pending:  # < k leftovers at epoch end: 1-step path
+                yield "single", ep, [batch]
+            yield "epoch_end", ep, None
 
     def stage(item):
         """Host gather is already done; device_put on the worker thread."""
-        kind, batches = item
+        kind, ep, batches = item
+        if kind == "epoch_end":
+            return kind, ep, None, None
         n_examples = [int(b["weight"].sum()) for b in batches]
         if kind == "stack":
             stacked = {key: np.stack([b[key] for b in batches])
                        for key in batches[0]}
-            return kind, shard_stacked_batch(mesh, stacked), n_examples
-        return kind, shard_batch(mesh, batches[0]), n_examples
+            return kind, ep, shard_stacked_batch(mesh, stacked), n_examples
+        return kind, ep, shard_batch(mesh, batches[0]), n_examples
 
     try:
-        for ep in range(cfg.start_epoch, cfg.epochs):
-            cnt = -1
-            for kind, dev, n_examples in stage_ahead(grouped(ep), stage,
+        cnt = -1
+        for kind, ep, dev, n_examples in stage_ahead(grouped(), stage,
                                                      depth=depth):
-                if kind == "single":
-                    cnt += 1
-                    state, metrics = train_step(state, dev, base_rng)
-                    after_step(ep, cnt,
-                               lambda: float(metrics["loss"]),
-                               lambda: float(metrics["acc"]),
-                               n_examples[0])
-                    continue
-                state, ms = multi_step(state, dev, base_rng)
-                metrics = {"loss": ms["loss"][-1], "acc": ms["acc"][-1]}
-                for j, n in enumerate(n_examples):
-                    cnt += 1
-                    after_step(ep, cnt,
-                               lambda j=j: float(ms["loss"][j]),
-                               lambda j=j: float(ms["acc"][j]),
-                               n)
-
-            logging.info("epoch %d finished", ep)
-            if save_dir:
-                save_checkpoint(save_dir, f"epoch-{ep + 1}.ckpt", state, cfg,
-                                **vocabs)
+            if kind == "epoch_end":
+                logging.info("epoch %d finished", ep)
+                if save_dir:
+                    save_checkpoint(save_dir, f"epoch-{ep + 1}.ckpt", state,
+                                    cfg, **vocabs)
+                cnt = -1
+                continue
+            if kind == "single":
+                cnt += 1
+                state, metrics = train_step(state, dev, base_rng)
+                after_step(ep, cnt,
+                           lambda: float(metrics["loss"]),
+                           lambda: float(metrics["acc"]),
+                           n_examples[0])
+                continue
+            state, ms = multi_step(state, dev, base_rng)
+            metrics = {"loss": ms["loss"][-1], "acc": ms["acc"][-1]}
+            for j, n in enumerate(n_examples):
+                cnt += 1
+                after_step(ep, cnt,
+                           lambda j=j: float(ms["loss"][j]),
+                           lambda j=j: float(ms["acc"][j]),
+                           n)
     finally:
         if profiling:
             jax.profiler.stop_trace()

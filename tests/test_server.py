@@ -350,3 +350,59 @@ def test_reload_conflict_returns_409(http_srv):
             http_srv.reload_lock.release()
     finally:
         http_srv.rebuild = None
+
+
+def test_pipeline_depths_equivalent(rec):
+    """pipeline_depth 0 (synchronous) and 2 (dispatch/complete overlap)
+    must return identical results under concurrent mixed load."""
+    outs = {}
+    for depth in (0, 2):
+        batcher = BatchingScorer(rec, max_batch=8, max_delay_ms=50,
+                                 pipeline_depth=depth)
+        try:
+            n = 10
+            results = [None] * n
+            barrier = threading.Barrier(n)
+
+            def worker(i, b=batcher, res=results, bar=barrier):
+                bar.wait()
+                if i % 3 == 2:
+                    res[i] = b.recommend([f"N{1 + i}"], k=5)
+                else:
+                    res[i] = b.score([f"N{1 + i}"],
+                                     [f"N{10 + i}", f"N{20 + i}"])
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            outs[depth] = results
+        finally:
+            batcher.close()
+    for a, b in zip(outs[0], outs[2]):
+        if isinstance(a, tuple):
+            assert a[0] == b[0]
+            np.testing.assert_allclose(a[1], b[1], rtol=1e-6)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_pipeline_close_with_inflight_batches(rec):
+    """close() must deliver results for batches already dispatched to the
+    completer (FIFO sentinel), not strand their callers."""
+    batcher = BatchingScorer(rec, max_batch=4, max_delay_ms=1,
+                             pipeline_depth=3)
+    results = []
+    threads = [threading.Thread(
+        target=lambda i=i: results.append(
+            batcher.score([f"N{1 + i}"], [f"N{10 + i}"])))
+        for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.close()
+    assert len(results) == 6
+    assert all(np.isfinite(r).all() for r in results)

@@ -126,6 +126,9 @@ def main():
                     choices=("gather", "dense"))
     ap.add_argument("--cache_dtype", default=None,
                     choices=(None, "float32", "bfloat16"))
+    ap.add_argument("--pipeline", default="2",
+                    help="comma list of BatchingScorer pipeline_depth "
+                         "values to A/B (0 = synchronous dispatch)")
     ap.add_argument("--sweep", default=None,
                     help="comma-separated delay_ms:max_batch:clients "
                          "triples, e.g. 2:64:64,5:64:64,10:128:128 — runs "
@@ -153,17 +156,20 @@ def main():
         for spec in args.sweep.split(","):
             d, mb, cl = spec.split(":")
             configs.append((float(d), int(mb), int(cl)))
+        depth = int(args.pipeline.split(",")[0])
         for delay_ms, max_batch, clients in configs:
-            _run_one(rec, args, serve, delay_ms, max_batch, clients)
+            _run_one(rec, args, serve, delay_ms, max_batch, clients, depth)
         return
 
-    _run_one(rec, args, serve, args.max_delay_ms, args.max_batch,
-             args.clients)
+    for depth in [int(x) for x in args.pipeline.split(",")]:
+        _run_one(rec, args, serve, args.max_delay_ms, args.max_batch,
+                 args.clients, depth)
 
 
-def _run_one(rec, args, serve, max_delay_ms, max_batch, clients):
+def _run_one(rec, args, serve, max_delay_ms, max_batch, clients,
+             pipeline_depth):
     srv = serve(rec, port=0, max_batch=max_batch,
-                max_delay_ms=max_delay_ms)
+                max_delay_ms=max_delay_ms, pipeline_depth=pipeline_depth)
     port = srv.server_address[1]
 
     # warm every bucket the load will hit (client count caps the batch)
@@ -196,6 +202,7 @@ def _run_one(rec, args, serve, max_delay_ms, max_batch, clients):
             "clients": clients,
             "max_delay_ms": max_delay_ms,
             "max_batch_cfg": max_batch,
+            "pipeline_depth": pipeline_depth,
             "candidates": args.candidates,
             "corpus": args.num_news,
             "p50_ms": round(float(lat[n // 2]), 1) if n else None,
