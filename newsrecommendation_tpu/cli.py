@@ -139,14 +139,19 @@ def run_train(cfg: Config):
     from newsrecommendation_tpu.parallel.mesh import local_batch_size
 
     feed_size = local_batch_size(mesh, cfg.batch_size * num_shards)
-    batch_example = next(samples.iter_batches(
-        news_features, feed_size, epoch=0, seed=0))
+    device_gather = bool(cfg.device_gather)
+    batch_example = next(
+        samples.iter_index_batches(feed_size, epoch=0, seed=0)
+        if device_gather else
+        samples.iter_batches(news_features, feed_size, epoch=0, seed=0))
     train_step = make_spmd_train_step(cfg, model, mesh, state,
-                                      batch_example=batch_example)
+                                      batch_example=batch_example,
+                                      device_gather=device_gather)
     multi_step = (
         make_spmd_multi_step(cfg, model, mesh, state,
                              batch_example=batch_example,
-                             steps_per_call=cfg.steps_per_call)
+                             steps_per_call=cfg.steps_per_call,
+                             device_gather=device_gather)
         if cfg.steps_per_call > 1 else None
     )
 
@@ -159,7 +164,7 @@ def run_train(cfg: Config):
     state, stats = fit(global_cfg, model, state, samples, news_features,
                        mesh=mesh, train_step=train_step,
                        multi_step=multi_step, vocabs=vocabs,
-                       save_dir=cfg.model_dir)
+                       save_dir=cfg.model_dir, device_gather=device_gather)
     logging.info("training done: %s", stats)
     return state, vocabs, stats
 

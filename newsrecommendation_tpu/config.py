@@ -92,6 +92,10 @@ class Config:
     # (train/prefetch.py): batch gather + device_put for step N+1 overlap
     # the device executing step N. 0 disables (inline host path).
     prefetch_depth: int = 2
+    # Keep news_features resident on device and gather feature rows inside
+    # the train step; the host ships only (B, L) int32 news indices per
+    # step (~20x fewer wire bytes than the gathered (B, L, F) rows).
+    device_gather: bool = True
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas kernels for hot ops
     fused_tail: str = "auto"  # "auto" | "on" | "off" — fused MHSA+pool kernel
     attention_layout: str = "headloop"  # "headloop" | "blanes" in-kernel layout

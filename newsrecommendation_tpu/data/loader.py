@@ -172,6 +172,41 @@ class TrainSamples:
                 "label": lb, "weight": w,
             }
 
+    def iter_index_batches(self, batch_size: int, epoch: int, seed: int,
+                           shuffle: bool = False,
+                           pad_final: bool = True) -> Iterator[dict]:
+        """Like iter_batches but WITHOUT the host feature gather: yields the
+        (B, L) / (B, 1+K) int32 news indices for a device-side gather
+        (train/step.py:with_device_gather). ~20x less host->device traffic
+        per step than shipping the gathered (B, L, F) feature rows.
+        """
+        hist, mask, cand, label = self.epoch_arrays(epoch, seed, shuffle)
+        n = hist.shape[0]
+        for start in range(0, n, batch_size):
+            end = min(start + batch_size, n)
+            b = end - start
+            h = hist[start:end]
+            c = cand[start:end]
+            m = mask[start:end]
+            lb = label[start:end]
+            w = np.ones(b, dtype=np.float32)
+            if b < batch_size:
+                if not pad_final:
+                    continue
+                pad = batch_size - b
+                h = np.concatenate([h, np.zeros((pad,) + h.shape[1:],
+                                                h.dtype)])
+                c = np.concatenate([c, np.zeros((pad,) + c.shape[1:],
+                                                c.dtype)])
+                m = np.concatenate([m, np.zeros((pad,) + m.shape[1:],
+                                                m.dtype)])
+                lb = np.concatenate([lb, np.zeros(pad, lb.dtype)])
+                w = np.concatenate([w, np.zeros(pad, w.dtype)])
+            yield {
+                "history_idx": h, "history_mask": m, "candidate_idx": c,
+                "label": lb, "weight": w,
+            }
+
 
 @dataclasses.dataclass
 class EvalSamples:

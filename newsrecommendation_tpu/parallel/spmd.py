@@ -128,25 +128,52 @@ def _spmd_step_body(cfg, model, lookup):
     return step
 
 
+def _gather_features(batch, news_feats):
+    """Device-side feature gather (train/step.py:with_device_gather, here
+    per-device inside shard_map: news_feats replicated, indices local)."""
+    batch = dict(batch)
+    batch["history"] = jnp.take(news_feats, batch.pop("history_idx"), axis=0)
+    batch["candidate"] = jnp.take(news_feats, batch.pop("candidate_idx"),
+                                  axis=0)
+    return batch
+
+
 def make_spmd_train_step(cfg, model, mesh, state: TrainState,
-                         batch_example: dict):
-    """Build the jitted shard_map train step for this mesh/state structure."""
+                         batch_example: dict, device_gather: bool = False):
+    """Build the jitted shard_map train step for this mesh/state structure.
+
+    device_gather=True: the step takes (state, batch, base_rng, news_feats)
+    with index batches (history_idx/candidate_idx) and a replicated
+    resident feature matrix — the host ships ~20x fewer bytes per step.
+    """
     table_sharded = cfg.table_shards > 1
     st_specs = state_pspecs(state, table_sharded)
     b_specs = batch_pspecs(batch_example)
     step = _spmd_step_body(cfg, model, _table_lookup(cfg))
 
-    mapped = shard_map(
-        step, mesh=mesh,
-        in_specs=(st_specs, b_specs, P()),
-        out_specs=(st_specs, {"loss": P(), "acc": P()}),
-        check_vma=False,
-    )
+    if device_gather:
+        def step_dg(state, batch, base_rng, news_feats):
+            return step(state, _gather_features(batch, news_feats), base_rng)
+
+        mapped = shard_map(
+            step_dg, mesh=mesh,
+            in_specs=(st_specs, b_specs, P(), P()),
+            out_specs=(st_specs, {"loss": P(), "acc": P()}),
+            check_vma=False,
+        )
+    else:
+        mapped = shard_map(
+            step, mesh=mesh,
+            in_specs=(st_specs, b_specs, P()),
+            out_specs=(st_specs, {"loss": P(), "acc": P()}),
+            check_vma=False,
+        )
     return jax.jit(mapped, donate_argnums=(0,) if cfg.donate_state else ())
 
 
 def make_spmd_multi_step(cfg, model, mesh, state: TrainState,
-                         batch_example: dict, steps_per_call: int):
+                         batch_example: dict, steps_per_call: int,
+                         device_gather: bool = False):
     """k SPMD train steps per dispatch: lax.scan over stacked batches INSIDE
     shard_map, so one XLA program covers k optimizer updates including all
     per-step collectives (see train/step.py:make_multi_step for why).
@@ -159,16 +186,29 @@ def make_spmd_multi_step(cfg, model, mesh, state: TrainState,
     sb_specs = {k: P(None, DATA_AXIS) for k in batch_example}
     step = _spmd_step_body(cfg, model, _table_lookup(cfg))
 
-    def multi(state, stacked_batches, base_rng):
-        def body(st, batch):
-            return step(st, batch, base_rng)
+    if device_gather:
+        def multi(state, stacked_batches, base_rng, news_feats):
+            def body(st, batch):
+                return step(st, _gather_features(batch, news_feats),
+                            base_rng)
 
-        return jax.lax.scan(body, state, stacked_batches,
-                            length=steps_per_call)
+            return jax.lax.scan(body, state, stacked_batches,
+                                length=steps_per_call)
+
+        in_specs = (st_specs, sb_specs, P(), P())
+    else:
+        def multi(state, stacked_batches, base_rng):
+            def body(st, batch):
+                return step(st, batch, base_rng)
+
+            return jax.lax.scan(body, state, stacked_batches,
+                                length=steps_per_call)
+
+        in_specs = (st_specs, sb_specs, P())
 
     mapped = shard_map(
         multi, mesh=mesh,
-        in_specs=(st_specs, sb_specs, P()),
+        in_specs=in_specs,
         out_specs=(st_specs, {"loss": P(), "acc": P()}),
         check_vma=False,
     )

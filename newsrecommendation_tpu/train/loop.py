@@ -23,6 +23,7 @@ import numpy as np
 
 from newsrecommendation_tpu.ckpt import save_checkpoint
 from newsrecommendation_tpu.parallel.mesh import (
+    replicate,
     shard_batch,
     shard_stacked_batch,
 )
@@ -32,7 +33,8 @@ from newsrecommendation_tpu.train.step import make_multi_step, make_train_step
 
 def fit(cfg, model, state, samples, news_features, *, mesh=None,
         train_step=None, multi_step=None, vocabs: Optional[dict] = None,
-        save_dir: Optional[str] = None) -> Dict[str, float]:
+        save_dir: Optional[str] = None,
+        device_gather: Optional[bool] = None) -> Dict[str, float]:
     """Train for cfg.epochs over `samples`; returns (state, stats).
 
     samples: data.loader.TrainSamples; news_features: combined feature matrix.
@@ -40,10 +42,19 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
     defaults to the single-logical-device jit step. multi_step: matching
     k-steps-per-dispatch program (spmd.make_spmd_multi_step) when
     cfg.steps_per_call > 1; built automatically for the default step.
+    device_gather: feature rows are gathered ON DEVICE from a resident
+    replicated news_features matrix, and the host ships only int32 news
+    indices per step (train/step.py:with_device_gather). Defaults to
+    cfg.device_gather for the built-in step; a caller supplying a custom
+    train_step must pass device_gather=True iff that step takes the extra
+    news_feats argument (spmd.make_spmd_train_step(device_gather=True)).
     """
     custom_step = train_step is not None
+    if device_gather is None:
+        device_gather = (not custom_step
+                         and bool(getattr(cfg, "device_gather", False)))
     if train_step is None:
-        train_step = make_train_step(cfg, model)
+        train_step = make_train_step(cfg, model, device_gather=device_gather)
     vocabs = vocabs or {}
     base_rng = jax.random.PRNGKey(cfg.seed)
 
@@ -72,7 +83,8 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
                 "without a matching multi_step", k)
             k = 1
         else:
-            multi_step = make_multi_step(cfg, model, k)
+            multi_step = make_multi_step(cfg, model, k,
+                                         device_gather=device_gather)
 
     def after_step(ep, cnt, loss_a, acc_a, n_examples):
         """Logging/checkpoint bookkeeping shared by both dispatch paths.
@@ -104,6 +116,28 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
 
     depth = getattr(cfg, "prefetch_depth", 2)
 
+    feats_dev = None
+    if device_gather:
+        # one placement for the whole run; every step gathers from it
+        feats_dev = replicate(mesh, jnp.asarray(news_features))
+
+    def iter_host_batches(ep):
+        if device_gather:
+            return samples.iter_index_batches(cfg.batch_size, epoch=ep,
+                                              seed=cfg.seed)
+        return samples.iter_batches(news_features, cfg.batch_size,
+                                    epoch=ep, seed=cfg.seed)
+
+    def run_step(st, dev):
+        if device_gather:
+            return train_step(st, dev, base_rng, feats_dev)
+        return train_step(st, dev, base_rng)
+
+    def run_multi(st, dev):
+        if device_gather:
+            return multi_step(st, dev, base_rng, feats_dev)
+        return multi_step(st, dev, base_rng)
+
     def grouped():
         """All epochs' host batches, k-stacked, with epoch-end markers.
 
@@ -116,8 +150,7 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
         """
         for ep in range(cfg.start_epoch, cfg.epochs):
             pending = []
-            for batch in samples.iter_batches(news_features, cfg.batch_size,
-                                              epoch=ep, seed=cfg.seed):
+            for batch in iter_host_batches(ep):
                 if k == 1:
                     yield "single", ep, [batch]
                     continue
@@ -154,13 +187,13 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
                 continue
             if kind == "single":
                 cnt += 1
-                state, metrics = train_step(state, dev, base_rng)
+                state, metrics = run_step(state, dev)
                 after_step(ep, cnt,
                            lambda: float(metrics["loss"]),
                            lambda: float(metrics["acc"]),
                            n_examples[0])
                 continue
-            state, ms = multi_step(state, dev, base_rng)
+            state, ms = run_multi(state, dev)
             metrics = {"loss": ms["loss"][-1], "acc": ms["acc"][-1]}
             for j, n in enumerate(n_examples):
                 cnt += 1

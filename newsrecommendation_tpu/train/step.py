@@ -53,16 +53,47 @@ def _make_step_body(cfg, model):
     return step_body
 
 
-def make_train_step(cfg, model, donate: bool | None = None):
-    """Returns jitted train_step(state, batch, base_rng) -> (state, metrics)."""
+def with_device_gather(body):
+    """Wrap a step body to gather news features ON DEVICE from a resident
+    feature matrix.
+
+    The host loop then ships only (B, L) int32 doc indices per step instead
+    of the gathered (B, L, F) feature rows — ~20x less host->device wire
+    traffic (measured ~8 ms/step of un-overlappable transfer at production
+    dims through the remote-TPU tunnel; docs/PERF.md round 4). news_feats
+    is an explicit argument, not a closure, so the corpus is placed once
+    and never baked into the compiled HLO.
+    """
+    def step(state, batch, base_rng, news_feats):
+        batch = dict(batch)
+        batch["history"] = jnp.take(news_feats, batch.pop("history_idx"),
+                                    axis=0)
+        batch["candidate"] = jnp.take(news_feats, batch.pop("candidate_idx"),
+                                      axis=0)
+        return body(state, batch, base_rng)
+
+    return step
+
+
+def make_train_step(cfg, model, donate: bool | None = None,
+                    device_gather: bool = False):
+    """Returns jitted train_step(state, batch, base_rng) -> (state, metrics).
+
+    device_gather=True instead returns train_step(state, batch, base_rng,
+    news_feats) where batch carries history_idx/candidate_idx and the
+    feature gather runs inside the jit (see with_device_gather).
+    """
     if donate is None:
         donate = cfg.donate_state
-    return jax.jit(_make_step_body(cfg, model),
-                   donate_argnums=(0,) if donate else ())
+    body = _make_step_body(cfg, model)
+    if device_gather:
+        body = with_device_gather(body)
+    return jax.jit(body, donate_argnums=(0,) if donate else ())
 
 
 def make_multi_step(cfg, model, steps_per_call: int,
-                    donate: bool | None = None):
+                    donate: bool | None = None,
+                    device_gather: bool = False):
     """k sequential train steps in ONE dispatched XLA computation.
 
     Returns multi_step(state, stacked_batches, base_rng) -> (state, metrics)
@@ -86,6 +117,18 @@ def make_multi_step(cfg, model, steps_per_call: int,
                                       length=steps_per_call)
         return state, metrics
 
+    def multi_step_dg(state: TrainState, stacked_batches, base_rng,
+                      news_feats):
+        gathered = with_device_gather(step_body)
+
+        def body(st, batch):
+            return gathered(st, batch, base_rng, news_feats)
+
+        state, metrics = jax.lax.scan(body, state, stacked_batches,
+                                      length=steps_per_call)
+        return state, metrics
+
     if donate is None:
         donate = cfg.donate_state
-    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    fn = multi_step_dg if device_gather else multi_step
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -129,3 +129,26 @@ def test_fit_prefetch_with_steps_per_call(tiny_cfg):
     assert stats["steps"] == 8
     assert stats["examples"] == n
     assert np.isfinite(stats["final_loss"])
+
+
+def test_fit_trajectory_identical_with_device_gather(tiny_cfg):
+    """Device-side feature gather is an exact relayout of the host gather:
+    every step's math (and therefore the whole trajectory) is bit-equal."""
+    base = tiny_cfg.replace(epochs=2, log_steps=3)
+    state_h, stats_h = _tiny_fit(base.replace(device_gather=False))
+    state_d, stats_d = _tiny_fit(base.replace(device_gather=True))
+    assert stats_h["steps"] == stats_d["steps"]
+    assert stats_h["final_loss"] == stats_d["final_loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(state_h.params),
+                    jax.tree_util.tree_leaves(state_d.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_device_gather_with_steps_per_call(tiny_cfg):
+    cfg = tiny_cfg.replace(epochs=1, steps_per_call=3, log_steps=2,
+                           device_gather=True, deterministic=True)
+    n = cfg.batch_size * 7 + 1
+    _, stats = _tiny_fit(cfg, n=n)
+    assert stats["steps"] == 8
+    assert stats["examples"] == n
+    assert np.isfinite(stats["final_loss"])

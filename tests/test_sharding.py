@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from newsrecommendation_tpu.models import get_model
 from newsrecommendation_tpu.parallel.mesh import (
@@ -260,3 +260,63 @@ class TestMultiHostFeed:
 
         mesh = make_mesh(data_parallel=4, table_shards=2)
         assert local_batch_size(mesh, 32) == 32
+
+
+class TestSpmdDeviceGather:
+    """device_gather=True spmd step == host-gather spmd step, bit-for-bit
+    (the on-device jnp.take is an exact relayout of the host numpy gather)."""
+
+    @pytest.mark.parametrize("dp,ts", [(8, 1), (4, 2)])
+    def test_matches_host_gather(self, tiny_cfg, rng, dp, ts):
+        cfg = tiny_cfg.replace(
+            data_parallel=dp, table_shards=ts, deterministic=True,
+            batch_size=8, lr=0.01, donate_state=False,
+        )
+        mesh = make_mesh(cfg)
+        model = get_model(cfg.model)
+        table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(
+            np.float32)
+        table[0] = 0.0
+        init_table = shard_table(table, ts) if ts > 1 else table
+        params = model.init(jax.random.PRNGKey(0), cfg, init_table)
+        state = create_train_state(cfg, params)
+
+        r = np.random.default_rng(5)
+        b, l, k = cfg.batch_size, cfg.user_log_length, cfg.npratio
+        num_news, f = 25, cfg.news_feature_width
+        feats = np.concatenate(
+            [np.zeros((1, f), np.int32),
+             r.integers(0, 30, size=(num_news, f)).astype(np.int32)])
+        hist_idx = r.integers(0, num_news + 1, size=(b, l)).astype(np.int32)
+        cand_idx = r.integers(1, num_news + 1,
+                              size=(b, 1 + k)).astype(np.int32)
+        common = {
+            "history_mask": jnp.asarray(
+                (r.random((b, l)) > 0.3).astype(np.float32)),
+            "label": jnp.asarray(r.integers(0, k + 1, size=(b,)), jnp.int32),
+            "weight": jnp.ones((b,), jnp.float32),
+        }
+        host_batch = dict(common,
+                          history=jnp.asarray(feats[hist_idx]),
+                          candidate=jnp.asarray(feats[cand_idx]))
+        idx_batch = dict(common,
+                         history_idx=jnp.asarray(hist_idx),
+                         candidate_idx=jnp.asarray(cand_idx))
+
+        spmd_state = place_state(state, mesh, ts > 1)
+        step_h = make_spmd_train_step(cfg, model, mesh, spmd_state,
+                                      host_batch)
+        st_h, m_h = step_h(spmd_state, host_batch, jax.random.PRNGKey(0))
+
+        spmd_state2 = place_state(state, mesh, ts > 1)
+        step_d = make_spmd_train_step(cfg, model, mesh, spmd_state2,
+                                      idx_batch, device_gather=True)
+        feats_dev = jax.device_put(jnp.asarray(feats),
+                                   NamedSharding(mesh, P()))
+        st_d, m_d = step_d(spmd_state2, idx_batch, jax.random.PRNGKey(0),
+                           feats_dev)
+
+        assert float(m_h["loss"]) == float(m_d["loss"])
+        for a, bb in zip(jax.tree_util.tree_leaves(st_h.params),
+                         jax.tree_util.tree_leaves(st_d.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

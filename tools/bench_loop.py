@@ -57,7 +57,8 @@ def build_data(root: str, num_news: int, num_impressions: int, npratio: int):
 
 
 def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
-            prefetch: int, epochs: int, batch_size: int, dtype: str):
+            prefetch: int, epochs: int, batch_size: int, dtype: str,
+            device_gather: bool = True):
     import jax
     import numpy as np
 
@@ -69,7 +70,8 @@ def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
     cfg = Config(model=model_name, title_source="word_ids",
                  freeze_embedding=freeze, batch_size=batch_size,
                  compute_dtype=dtype, epochs=epochs, npratio=samples.npratio,
-                 log_steps=20, prefetch_depth=prefetch)
+                 log_steps=20, prefetch_depth=prefetch,
+                 device_gather=device_gather)
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)
     table = rng.normal(
@@ -89,6 +91,9 @@ def main(argv=None):
     p.add_argument("--trainable", dest="freeze", action="store_false")
     p.add_argument("--prefetch", default="0,2",
                    help="comma list of prefetch_depth values to A/B")
+    p.add_argument("--gather", default="device",
+                   help="comma list from {device,host}: where the feature "
+                        "gather runs (cfg.device_gather A/B)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16")
@@ -100,19 +105,23 @@ def main(argv=None):
     with tempfile.TemporaryDirectory() as root:
         corpus, feats, samples = build_data(
             root, args.num_news, args.num_impressions, args.npratio)
-        for depth in [int(x) for x in args.prefetch.split(",")]:
-            stats = run_one(args.model, feats, samples, corpus,
-                            freeze=args.freeze, prefetch=depth,
-                            epochs=args.epochs, batch_size=args.batch_size,
-                            dtype=args.dtype)
-            print(json.dumps({
-                "model": args.model,
-                "freeze": args.freeze,
-                "prefetch_depth": depth,
-                "train_samples": samples.num_samples,
-                "steps": stats["steps"],
-                "examples_per_sec": round(stats["examples_per_sec"], 1),
-            }), flush=True)
+        for gather in args.gather.split(","):
+            for depth in [int(x) for x in args.prefetch.split(",")]:
+                stats = run_one(args.model, feats, samples, corpus,
+                                freeze=args.freeze, prefetch=depth,
+                                epochs=args.epochs,
+                                batch_size=args.batch_size,
+                                dtype=args.dtype,
+                                device_gather=(gather == "device"))
+                print(json.dumps({
+                    "model": args.model,
+                    "freeze": args.freeze,
+                    "prefetch_depth": depth,
+                    "gather": gather,
+                    "train_samples": samples.num_samples,
+                    "steps": stats["steps"],
+                    "examples_per_sec": round(stats["examples_per_sec"], 1),
+                }), flush=True)
 
 
 if __name__ == "__main__":
