@@ -381,12 +381,15 @@ def test_pipeline_depths_equivalent(rec):
             outs[depth] = results
         finally:
             batcher.close()
+    # coalescing timing differs per depth, so requests may land in
+    # different padded batch tiers whose executables round differently
+    # (~1e-8 abs) — same tolerance as test_batching_matches_direct
     for a, b in zip(outs[0], outs[2]):
         if isinstance(a, tuple):
             assert a[0] == b[0]
-            np.testing.assert_allclose(a[1], b[1], rtol=1e-6)
+            np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
         else:
-            np.testing.assert_allclose(a, b, rtol=1e-6)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_pipeline_close_with_inflight_batches(rec):
