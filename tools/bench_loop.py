@@ -31,6 +31,9 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# match cli.main: rbg dropout-mask generation (threefry costs ~5.5 ms/step
+# extra at the headline config — measured round 4)
+jax.config.update("jax_default_prng_impl", "rbg")
 
 
 def build_data(root: str, num_news: int, num_impressions: int, npratio: int):
@@ -58,7 +61,7 @@ def build_data(root: str, num_news: int, num_impressions: int, npratio: int):
 
 def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
             prefetch: int, epochs: int, batch_size: int, dtype: str,
-            device_gather: bool = True):
+            device_gather: bool = True, steps_per_call: int = 1):
     import jax
     import numpy as np
 
@@ -71,7 +74,7 @@ def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
                  freeze_embedding=freeze, batch_size=batch_size,
                  compute_dtype=dtype, epochs=epochs, npratio=samples.npratio,
                  log_steps=20, prefetch_depth=prefetch,
-                 device_gather=device_gather)
+                 device_gather=device_gather, steps_per_call=steps_per_call)
     model = get_model(cfg.model)
     rng = np.random.default_rng(0)
     table = rng.normal(
@@ -94,6 +97,9 @@ def main(argv=None):
     p.add_argument("--gather", default="device",
                    help="comma list from {device,host}: where the feature "
                         "gather runs (cfg.device_gather A/B)")
+    p.add_argument("--steps_per_call", default="1",
+                   help="comma list of cfg.steps_per_call values to A/B "
+                        "(k>1 scans k optimizer steps per dispatch)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16")
@@ -106,18 +112,21 @@ def main(argv=None):
         corpus, feats, samples = build_data(
             root, args.num_news, args.num_impressions, args.npratio)
         for gather in args.gather.split(","):
+          for spc in [int(x) for x in args.steps_per_call.split(",")]:
             for depth in [int(x) for x in args.prefetch.split(",")]:
                 stats = run_one(args.model, feats, samples, corpus,
                                 freeze=args.freeze, prefetch=depth,
                                 epochs=args.epochs,
                                 batch_size=args.batch_size,
                                 dtype=args.dtype,
-                                device_gather=(gather == "device"))
+                                device_gather=(gather == "device"),
+                                steps_per_call=spc)
                 print(json.dumps({
                     "model": args.model,
                     "freeze": args.freeze,
                     "prefetch_depth": depth,
                     "gather": gather,
+                    "steps_per_call": spc,
                     "train_samples": samples.num_samples,
                     "steps": stats["steps"],
                     "examples_per_sec": round(stats["examples_per_sec"], 1),
