@@ -87,6 +87,60 @@ def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
     return stats
 
 
+def run_eval(model_name: str, feats, corpus, root: str, *, batch_size: int,
+             repeats: int = 3):
+    """Two-phase eval pipeline throughput (impressions/s through
+    evaluate_impressions, device-side metric accumulation + staged
+    batches) on a synthetic dev shard."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from newsrecommendation_tpu.config import Config
+    from newsrecommendation_tpu.data import prepare_testing_data
+    from newsrecommendation_tpu.data.loader import EvalSamples
+    from newsrecommendation_tpu.data.synthetic import generate_corpus
+    from newsrecommendation_tpu.eval.pipeline import (
+        compute_news_scoring, evaluate_impressions,
+    )
+    from newsrecommendation_tpu.models import get_model
+
+    dev_dir = os.path.join(root, "dev")
+    generate_corpus(dev_dir, num_news=len(corpus.news_index), num_users=300,
+                    num_impressions=4000, num_topics=12, title_len=18,
+                    max_history=50, candidates_per_impression=20, seed=9,
+                    split="dev")
+    cfg = Config(model=model_name, title_source="word_ids",
+                 eval_batch_size=batch_size, user_log_mask=True,
+                 deterministic=True, max_candidates=64)
+    prepare_testing_data(dev_dir, 1)
+    samples = EvalSamples.from_file(
+        os.path.join(dev_dir, "behaviors_0.tsv"), corpus.news_index, cfg)
+    model = get_model(cfg.model)
+    rng = np.random.default_rng(0)
+    table = rng.normal(
+        size=(len(corpus.word_dict) + 1, cfg.word_embedding_dim),
+        scale=0.1).astype(np.float32)
+    table[0] = 0
+    params = model.init(jax.random.PRNGKey(0), cfg, table)
+    t0 = time.perf_counter()
+    scoring = compute_news_scoring(model, params, cfg, feats)
+    jax.block_until_ready(scoring)
+    t_phase1 = time.perf_counter() - t0
+    evaluate_impressions(model, params, cfg, samples, scoring)  # warm
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        res = evaluate_impressions(model, params, cfg, samples, scoring)
+    dt = (time.perf_counter() - t0) / repeats
+    return {
+        "eval_impressions": samples.num_samples,
+        "phase1_s": round(t_phase1, 2),
+        "phase2_impressions_per_sec": round(samples.num_samples / dt, 1),
+        "auc": round(100 * res["auc"], 2),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="NRMS", choices=["NRMS", "NAML"])
@@ -106,11 +160,20 @@ def main(argv=None):
     p.add_argument("--num_news", type=int, default=5000)
     p.add_argument("--num_impressions", type=int, default=6000)
     p.add_argument("--npratio", type=int, default=4)
+    p.add_argument("--eval", action="store_true",
+                   help="measure the two-phase eval pipeline instead of "
+                        "training")
     args = p.parse_args(argv)
 
     with tempfile.TemporaryDirectory() as root:
         corpus, feats, samples = build_data(
             root, args.num_news, args.num_impressions, args.npratio)
+        if args.eval:
+            out = run_eval(args.model, feats, corpus, root,
+                           batch_size=args.batch_size)
+            print(json.dumps(dict({"model": args.model, "mode": "eval"},
+                                  **out)), flush=True)
+            return
         for gather in args.gather.split(","):
           for spc in [int(x) for x in args.steps_per_call.split(",")]:
             for depth in [int(x) for x in args.prefetch.split(",")]:
