@@ -17,6 +17,7 @@ main.py:201-208) is vectorized to a single batched computation.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, Optional
 
@@ -50,15 +51,13 @@ def compute_news_scoring(model, params, cfg, news_features: np.ndarray,
         row_sharding = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
         params = jax.device_put(params, rep)
-        jit_encode = jax.jit(lambda p, feats: model.news_encoder(p, cfg, feats))
+        jit_encode = _news_encode_jit(model, cfg)
 
         def encode_fn(p, feats):
             return jit_encode(p, jax.device_put(np.asarray(feats),
                                                 row_sharding))
     if encode_fn is None:
-        encode_fn = jax.jit(
-            lambda p, feats: model.news_encoder(p, cfg, feats)
-        )
+        encode_fn = _news_encode_jit(model, cfg)
     pad = (-n) % chunk
     feats = np.concatenate(
         [news_features, np.zeros((pad,) + news_features.shape[1:],
@@ -77,6 +76,19 @@ def compute_news_scoring(model, params, cfg, news_features: np.ndarray,
     return scoring
 
 
+@jax.jit
+def _sims(vecs, ii, jj, kk):
+    # module-level jit (one trace per shape for the process), not a
+    # per-call closure — a fresh jit object per probe call re-traced and
+    # re-compiled this every evaluation
+    a = jnp.take(vecs, ii, axis=0)
+    b = jnp.take(vecs, jj, axis=0)
+    na = jnp.linalg.norm(a, axis=-1)
+    nb = jnp.linalg.norm(b, axis=-1)
+    sims = jnp.sum(a * b, axis=-1) / jnp.maximum(na * nb, 1e-12)
+    return jnp.sum(sims * kk)
+
+
 def doc_sim_probe(news_scoring, num_pairs: int = 1_000_000,
                   seed: int = 0) -> float:
     """Mean cosine similarity over random news-vector pairs (rows >= 1).
@@ -92,15 +104,6 @@ def doc_sim_probe(news_scoring, num_pairs: int = 1_000_000,
     j = rng.integers(1, n, size=num_pairs)
     keep = i != j  # reference skips i == j pairs (still divides by 1M)
 
-    @jax.jit
-    def _sims(vecs, ii, jj, kk):
-        a = jnp.take(vecs, ii, axis=0)
-        b = jnp.take(vecs, jj, axis=0)
-        na = jnp.linalg.norm(a, axis=-1)
-        nb = jnp.linalg.norm(b, axis=-1)
-        sims = jnp.sum(a * b, axis=-1) / jnp.maximum(na * nb, 1e-12)
-        return jnp.sum(sims * kk)
-
     total = 0.0
     step = 262144  # bound device memory for the gathered pairs
     vecs = jnp.asarray(news_scoring)
@@ -111,6 +114,17 @@ def doc_sim_probe(news_scoring, num_pairs: int = 1_000_000,
     return total / num_pairs
 
 
+@functools.lru_cache(maxsize=32)
+def _news_encode_jit(model, cfg):
+    """Cached per-(model, cfg) jitted corpus encoder: a fresh jit object
+    per call would re-trace and (on a remote-TPU service) re-COMPILE the
+    same program every evaluation — ~50 s/call through the tunnel
+    (measured round 4). Config is a frozen dataclass, models are
+    get_model singletons, so the cache key is exact."""
+    return jax.jit(lambda p, feats: model.news_encoder(p, cfg, feats))
+
+
+@functools.lru_cache(maxsize=32)
 def make_eval_step(model, cfg):
     """One jitted eval computation per fixed-shape impression batch.
 
