@@ -218,3 +218,20 @@ def test_eval_with_mesh_matches_unmeshed(tiny_cfg, rng, model_and_params):
                                   mesh=make_mesh(cfg))
     for k in ("auc", "mrr", "ndcg5", "ndcg10", "count"):
         assert meshed[k] == pytest.approx(plain[k], abs=1e-5)
+
+
+def test_eval_jits_cached_per_model_cfg(tiny_cfg):
+    """Repeated evals must reuse the SAME jit objects (a fresh jit per
+    call re-traces and, via a remote compile service, re-compiles the
+    identical program — measured ~50 s/call; docs/PERF.md round 4)."""
+    from newsrecommendation_tpu.eval.pipeline import (
+        _news_encode_jit, make_eval_step,
+    )
+    from newsrecommendation_tpu.models import get_model
+
+    model = get_model(tiny_cfg.model)
+    assert make_eval_step(model, tiny_cfg) is make_eval_step(model, tiny_cfg)
+    assert _news_encode_jit(model, tiny_cfg) is _news_encode_jit(model,
+                                                                 tiny_cfg)
+    other = tiny_cfg.replace(eval_batch_size=tiny_cfg.eval_batch_size + 1)
+    assert make_eval_step(model, other) is not make_eval_step(model, tiny_cfg)
