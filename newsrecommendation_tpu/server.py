@@ -304,8 +304,12 @@ class BatchingScorer:
         n, bb = self._pad_requests(reqs)
         hists = [r.history for r in reqs] + [[]] * (bb - n)
         self.stats.record_batch(n)
-        scores, idx = self.rec.recommend_batch_async(hists, k=k_width)
-        return "recommend", reqs, (scores, idx)
+        # pin the rec the batch was DISPATCHED against: a /reload swap of
+        # self.rec between dispatch and completion must not remap the
+        # in-flight top-k indices with the new corpus's _inv_index
+        rec = self.rec
+        scores, idx = rec.recommend_batch_async(hists, k=k_width)
+        return "recommend", reqs, (rec, scores, idx)
 
     def _complete(self, item):
         """Blocking half: fetch device results, distribute rows, wake
@@ -318,7 +322,8 @@ class BatchingScorer:
                     r.result = host[i][: len(r.candidates)].copy()
                     r.done.set()
             else:
-                ids, scores = self.rec.finish_recommend_batch(*out)
+                rec, scores, idx = out
+                ids, scores = rec.finish_recommend_batch(scores, idx)
                 for i, r in enumerate(reqs):
                     r.result = (ids[i][: r.k], scores[i][: r.k])
                     r.done.set()
