@@ -107,13 +107,16 @@ class Config:
     # ---- serving (--mode serve; server.py) ---------------------------------
     serve_host: str = "127.0.0.1"
     serve_port: int = 8000
-    serve_max_batch: int = 64      # micro-batching coalescing cap
-    # Max wait to fill a device batch. 5 ms chosen from the round-3
-    # (delay x batch x clients) sweep: at 64 clients it beats 2 ms on BOTH
-    # throughput (388 vs 334 req/s) and tail latency (p95 202 vs 225 ms,
-    # p99 226 vs 1061); the 128-batch tier measured strictly worse at 128
-    # clients (BASELINE.md round-3 serving table).
-    serve_max_delay_ms: float = 5.0
+    serve_max_batch: int = 128     # micro-batching coalescing cap
+    # Max wait to fill a device batch. Re-tuned in round 4 for the
+    # pipelined dispatcher (serve_pipeline_depth 2): the round-3 5 ms/64
+    # point was optimal for the SYNCHRONOUS worker, whose device round
+    # trip acted as an implicit extra collection window. With dispatch
+    # and completion overlapped, 15 ms/128 dominates every measured axis
+    # at 64 clients (479 vs 352 req/s sync same-day, p50 128 vs 149 ms,
+    # p99 199 vs 231 ms) and scales to 512 req/s at 128 clients
+    # (BASELINE.md round-4 serving table).
+    serve_max_delay_ms: float = 15.0
     # Device batches in flight between the coalescing worker and the
     # result-fetch completer (server.py BatchingScorer): collection and
     # request encoding for batch N+1 overlap batch N's device round trip.
