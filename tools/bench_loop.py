@@ -36,7 +36,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_prng_impl", "rbg")
 
 
-def build_data(root: str, num_news: int, num_impressions: int, npratio: int):
+def build_data(root: str, num_news: int, num_impressions: int, npratio: int,
+               model: str = "NRMS"):
     from newsrecommendation_tpu.config import Config
     from newsrecommendation_tpu.data import (
         TrainSamples, build_news_features, prepare_training_data, read_news,
@@ -48,8 +49,9 @@ def build_data(root: str, num_news: int, num_impressions: int, npratio: int):
                     num_impressions=num_impressions, num_topics=12,
                     title_len=18, max_history=50,
                     candidates_per_impression=12, seed=3, split="train")
-    cfg = Config(model="NRMS", title_source="word_ids", npratio=npratio,
-                 prepare=True)
+    naml = model == "NAML"
+    cfg = Config(model=model, title_source="word_ids", npratio=npratio,
+                 use_category=naml, use_subcategory=naml, prepare=True)
     prepare_training_data(train_dir, 1, npratio, 0)
     corpus = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
     feats = build_news_features(corpus, cfg)
@@ -70,7 +72,9 @@ def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
     from newsrecommendation_tpu.train.loop import fit
     from newsrecommendation_tpu.train.state import create_train_state
 
+    naml = model_name == "NAML"
     cfg = Config(model=model_name, title_source="word_ids",
+                 use_category=naml, use_subcategory=naml,
                  freeze_embedding=freeze, batch_size=batch_size,
                  compute_dtype=dtype, epochs=epochs, npratio=samples.npratio,
                  log_steps=20, prefetch_depth=prefetch,
@@ -81,8 +85,9 @@ def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
         size=(len(corpus.word_dict) + 1, cfg.word_embedding_dim),
         scale=0.1).astype(np.float32)
     table[0] = 0
-    state = create_train_state(cfg, model.init(jax.random.PRNGKey(0), cfg,
-                                               table))
+    state = create_train_state(cfg, model.init(
+        jax.random.PRNGKey(0), cfg, table,
+        len(corpus.category_dict), len(corpus.subcategory_dict)))
     state, stats = fit(cfg, model, state, samples, feats)
     return stats
 
@@ -167,7 +172,8 @@ def main(argv=None):
 
     with tempfile.TemporaryDirectory() as root:
         corpus, feats, samples = build_data(
-            root, args.num_news, args.num_impressions, args.npratio)
+            root, args.num_news, args.num_impressions, args.npratio,
+            model=args.model)
         if args.eval:
             out = run_eval(args.model, feats, corpus, root,
                            batch_size=args.batch_size)
