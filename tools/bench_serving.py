@@ -116,10 +116,10 @@ def main():
                     help="requests per client")
     ap.add_argument("--num_news", type=int, default=65536)
     ap.add_argument("--candidates", type=int, default=300)
-    ap.add_argument("--max_batch", type=int, default=64)
-    ap.add_argument("--max_delay_ms", type=float, default=5.0,
+    ap.add_argument("--max_batch", type=int, default=128)
+    ap.add_argument("--max_delay_ms", type=float, default=15.0,
                     help="matches Config.serve_max_delay_ms's sweep-chosen "
-                         "default")
+                         "default (round-4 pipelined frontier)")
     ap.add_argument("--recommend_every", type=int, default=0,
                     help="every Nth request is a corpus-wide /recommend")
     ap.add_argument("--scorer", default="gather",
