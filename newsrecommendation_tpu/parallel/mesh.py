@@ -102,18 +102,25 @@ def shard_batch(mesh: Optional[Mesh], batch: dict) -> dict:
     """Place a host batch dict onto the mesh, batch-dim sharded over 'data'.
 
     With multiple processes, `batch` holds each process's local rows (use
-    local_batch_size) and the returned arrays are global.
+    local_batch_size) and the returned arrays are global. Single-process
+    paths put the WHOLE dict in one device_put call (one client RPC
+    round instead of one per leaf — measurable on remote-TPU transports).
     """
     if mesh is None:
-        return {k: jax.device_put(v) for k, v in batch.items()}
-    return {k: _put(mesh, P(DATA_AXIS), v) for k, v in batch.items()}
+        return jax.device_put(batch)
+    if jax.process_count() > 1:
+        return {k: _put(mesh, P(DATA_AXIS), v) for k, v in batch.items()}
+    return jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
 
 
 def shard_stacked_batch(mesh: Optional[Mesh], stacked: dict) -> dict:
     """Place a (k, B, ...) stack of k batches; batch dim (axis 1) over 'data'."""
     if mesh is None:
-        return {k: jax.device_put(v) for k, v in stacked.items()}
-    return {k: _put(mesh, P(None, DATA_AXIS), v) for k, v in stacked.items()}
+        return jax.device_put(stacked)
+    if jax.process_count() > 1:
+        return {k: _put(mesh, P(None, DATA_AXIS), v)
+                for k, v in stacked.items()}
+    return jax.device_put(stacked, NamedSharding(mesh, P(None, DATA_AXIS)))
 
 
 def replicate(mesh: Optional[Mesh], tree):
