@@ -13,6 +13,7 @@ with device compute.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Dict, Optional
 
@@ -21,7 +22,6 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from newsrecommendation_tpu.ckpt import save_checkpoint
 from newsrecommendation_tpu.parallel.mesh import (
     replicate,
     shard_batch,
@@ -29,6 +29,45 @@ from newsrecommendation_tpu.parallel.mesh import (
 )
 from newsrecommendation_tpu.train.prefetch import stage_ahead
 from newsrecommendation_tpu.train.step import make_multi_step, make_train_step
+
+
+class _AsyncSaver:
+    """Checkpoint writes off the training thread.
+
+    A synchronous save blocks the loop for the full device->host fetch +
+    file write (~1 s/epoch over a remote-TPU transport — 24% of a short
+    epoch, measured round 4). Instead the state is snapshotted ON DEVICE
+    (one jitted elementwise copy, so the train step's buffer donation
+    cannot free the leaves out from under the writer) and a single worker
+    thread fetches + writes while training continues. One save in flight
+    at a time; `wait()` at loop exit makes files durable before fit
+    returns. Multi-controller runs save synchronously (every process
+    must reach its shard writes; a lagging background thread would
+    let a process exit with an unwritten shard file).
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._snap = jax.jit(lambda s: jax.tree_util.tree_map(
+            lambda x: x + jnp.zeros((), x.dtype), s))
+
+    def save(self, save_dir, name, state, cfg, **vocabs):
+        from newsrecommendation_tpu.ckpt import save_checkpoint as _sync
+
+        if jax.process_count() > 1:
+            _sync(save_dir, name, state, cfg, **vocabs)
+            return
+        snap = self._snap(state)
+        self.wait()  # one in flight: bounds device memory at 2x state
+        self._thread = threading.Thread(
+            target=_sync, args=(save_dir, name, snap, cfg), kwargs=vocabs,
+            daemon=True, name="ckpt-saver")
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def fit(cfg, model, state, samples, news_features, *, mesh=None,
@@ -111,10 +150,11 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
                            loss=round(loss_v, 5), acc=round(acc_v, 5),
                            examples_per_sec=round(eps, 1))
         if save_dir and cnt != 0 and cnt % cfg.save_steps == 0:
-            save_checkpoint(save_dir, f"epoch-{ep + 1}-{cnt}.ckpt",
-                            state, cfg, **vocabs)
+            saver.save(save_dir, f"epoch-{ep + 1}-{cnt}.ckpt",
+                       state, cfg, **vocabs)
 
     depth = getattr(cfg, "prefetch_depth", 2)
+    saver = _AsyncSaver()
 
     feats_dev = None
     if device_gather:
@@ -181,8 +221,8 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
             if kind == "epoch_end":
                 logging.info("epoch %d finished", ep)
                 if save_dir:
-                    save_checkpoint(save_dir, f"epoch-{ep + 1}.ckpt", state,
-                                    cfg, **vocabs)
+                    saver.save(save_dir, f"epoch-{ep + 1}.ckpt", state,
+                               cfg, **vocabs)
                 cnt = -1
                 continue
             if kind == "single":
@@ -202,6 +242,7 @@ def fit(cfg, model, state, samples, news_features, *, mesh=None,
                            lambda j=j: float(ms["acc"][j]),
                            n)
     finally:
+        saver.wait()  # checkpoint files durable before fit returns
         if profiling:
             jax.profiler.stop_trace()
 

@@ -182,3 +182,48 @@ def test_atomic_write_no_tmp_left(tiny_cfg, rng, tmp_path):
     save_checkpoint(str(tmp_path), "epoch-1.ckpt", state, cfg)
     leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_async_epoch_saves_snapshot_state_at_save_time(tiny_cfg, rng, tmp_path):
+    """fit()'s background checkpoint writer must capture the state AT the
+    epoch boundary even though training (with donated buffers) continues
+    while it writes: epoch-1.ckpt != epoch-2.ckpt == final state."""
+    import jax
+
+    from newsrecommendation_tpu.data.loader import TrainSamples
+    from newsrecommendation_tpu.train.loop import fit
+
+    cfg = tiny_cfg.replace(epochs=2, log_steps=5)
+    model = get_model(cfg.model)
+    table = rng.normal(size=(30, cfg.word_embedding_dim)).astype(np.float32)
+    table[0] = 0
+    state = create_train_state(cfg, model.init(jax.random.PRNGKey(0), cfg,
+                                               table))
+    r = np.random.default_rng(0)
+    n = 40
+    samples = TrainSamples(
+        history=r.integers(0, 30, size=(n, cfg.user_log_length)).astype(
+            np.int32),
+        history_mask=np.ones((n, cfg.user_log_length), np.float32),
+        pos=r.integers(1, 30, size=(n,)).astype(np.int32),
+        neg=r.integers(1, 30, size=(n, cfg.npratio)).astype(np.int32),
+    )
+    feats = np.concatenate(
+        [np.zeros((1, cfg.news_feature_width), np.int32),
+         r.integers(0, 30, size=(29, cfg.news_feature_width)).astype(
+             np.int32)])
+    final, _ = fit(cfg, model, state, samples, feats,
+                   save_dir=str(tmp_path))
+    assert (tmp_path / "epoch-1.ckpt").exists()
+    assert (tmp_path / "epoch-2.ckpt").exists()
+
+    _, fresh1 = make_state(tiny_cfg, np.random.default_rng(99))
+    ep1, _ = load_checkpoint(str(tmp_path / "epoch-1.ckpt"), fresh1, cfg)
+    _, fresh2 = make_state(tiny_cfg, np.random.default_rng(98))
+    ep2, _ = load_checkpoint(str(tmp_path / "epoch-2.ckpt"), fresh2, cfg)
+
+    # epoch-2 == state fit returned (writer saw the boundary snapshot)
+    assert_trees_equal(ep2.params, jax.device_get(final.params))
+    assert int(ep2.step) == int(final.step)
+    # epoch-1 is an EARLIER state, not a late/corrupted duplicate
+    assert int(ep1.step) < int(ep2.step)
