@@ -140,20 +140,31 @@ def run_train(cfg: Config):
 
     feed_size = local_batch_size(mesh, cfg.batch_size * num_shards)
     device_gather = bool(cfg.device_gather)
-    batch_example = next(
-        samples.iter_index_batches(feed_size, epoch=0, seed=0)
-        if device_gather else
-        samples.iter_batches(news_features, feed_size, epoch=0, seed=0))
-    train_step = make_spmd_train_step(cfg, model, mesh, state,
-                                      batch_example=batch_example,
-                                      device_gather=device_gather)
-    multi_step = (
-        make_spmd_multi_step(cfg, model, mesh, state,
-                             batch_example=batch_example,
-                             steps_per_call=cfg.steps_per_call,
-                             device_gather=device_gather)
-        if cfg.steps_per_call > 1 else None
-    )
+    trivial_mesh = (mesh is None
+                    or (mesh.devices.size == 1 and jax.process_count() == 1
+                        and cfg.table_shards == 1))
+    if trivial_mesh:
+        # Single chip, single process: the plain jit step is the same math
+        # with none of shard_map's program overhead — measured ~22% faster
+        # end-to-end than the 1-device shard_map lowering (docs/PERF.md
+        # round 4). fit() builds it (and the scan variant) itself.
+        train_step = None
+        multi_step = None
+    else:
+        batch_example = next(
+            samples.iter_index_batches(feed_size, epoch=0, seed=0)
+            if device_gather else
+            samples.iter_batches(news_features, feed_size, epoch=0, seed=0))
+        train_step = make_spmd_train_step(cfg, model, mesh, state,
+                                          batch_example=batch_example,
+                                          device_gather=device_gather)
+        multi_step = (
+            make_spmd_multi_step(cfg, model, mesh, state,
+                                 batch_example=batch_example,
+                                 steps_per_call=cfg.steps_per_call,
+                                 device_gather=device_gather)
+            if cfg.steps_per_call > 1 else None
+        )
 
     vocabs = {
         "category_dict": corpus.category_dict,

@@ -118,6 +118,28 @@ def test_main_train_test_end_to_end(synthetic_dirs, tmp_path):
     assert (tmp_path / "model" / "epoch-2.ckpt").exists()
 
 
+def test_main_train_single_device_fast_path(synthetic_dirs, tmp_path):
+    """--data_parallel 1 on a multi-device backend takes the trivial-mesh
+    fast path (plain jit step instead of 1-device shard_map) and still
+    trains + checkpoints end to end."""
+    from newsrecommendation_tpu.cli import main
+
+    train_dir, dev_dir = synthetic_dirs
+    main([
+        "--mode", "train", "--model", "NRMS",
+        "--title_source", "word_ids", "--data_parallel", "1",
+        "--train_data_dir", train_dir,
+        "--model_dir", str(tmp_path / "model1"),
+        "--epochs", "1", "--batch_size", "8", "--lr", "0.003",
+        "--num_words_title", "6", "--user_log_length", "8",
+        "--word_embedding_dim", "16", "--news_dim", "16",
+        "--num_attention_heads", "4", "--news_query_vector_dim", "8",
+        "--user_query_vector_dim", "8", "--filter_num", "0",
+        "--log_steps", "50",
+    ])
+    assert (tmp_path / "model1" / "epoch-1.ckpt").exists()
+
+
 @pytest.mark.slow
 def test_parity_harness_dry_run():
     """The one-command parity harness end-to-end on synthetic data (the
