@@ -252,10 +252,21 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
     # Device-side accumulation: fetching float(out[k]) every batch would
     # block the dispatch thread on each step's result, serializing host
     # padding with device compute. Instead the scalar sums stay on device
-    # (one tiny fused add per batch) and are fetched once at the end — and
-    # at log points, the only places a host value is actually needed.
+    # (one tiny fused add per batch). Every _FOLD_EVERY batches (and at log
+    # points) they fold into a host float64 accumulator — bounding the
+    # float32 running-sum drift vs the reference's float64 host
+    # accumulation (main.py:269-275) to ~_FOLD_EVERY terms while keeping
+    # dispatch async between folds.
+    _FOLD_EVERY = 64
+    sums_host = {k: 0.0 for k in metric_keys}  # float64
     sums_dev = {k: jnp.zeros(()) for k in metric_keys}
     seen = 0
+
+    def fold():
+        nonlocal sums_dev
+        for k in metric_keys:
+            sums_host[k] += float(sums_dev[k])  # sync point
+        sums_dev = {k: jnp.zeros(()) for k in metric_keys}
 
     def stage(batch):
         dev = {
@@ -271,15 +282,18 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
         out = eval_step(params, news_scoring, dev_batch)
         sums_dev = {k: sums_dev[k] + out[k] for k in metric_keys}
         seen += num_real
+        if (cnt + 1) % _FOLD_EVERY == 0:
+            fold()
         if log_every and cnt % log_every == 0:
-            snap = {k: float(v) for k, v in sums_dev.items()}  # sync point
-            c = max(snap["count"], 1.0)
+            fold()
+            c = max(sums_host["count"], 1.0)
             logging.info(
                 "[eval] %d samples: AUC %.2f MRR %.2f nDCG5 %.2f nDCG10 %.2f",
-                seen, 100 * snap["auc"] / c, 100 * snap["mrr"] / c,
-                100 * snap["ndcg5"] / c, 100 * snap["ndcg10"] / c,
+                seen, 100 * sums_host["auc"] / c, 100 * sums_host["mrr"] / c,
+                100 * sums_host["ndcg5"] / c, 100 * sums_host["ndcg10"] / c,
             )
-    sums = {k: float(v) for k, v in sums_dev.items()}
+    fold()
+    sums = dict(sums_host)
     if return_sums:
         sums["samples_seen"] = float(seen)
         return sums

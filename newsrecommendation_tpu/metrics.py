@@ -103,13 +103,16 @@ def valid_impression_mask(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     return ((npos > 0) & (npos < nreal)).astype(jnp.float32)
 
 
-def batched_auc(scores, labels, mask):
+def batched_auc_pairwise(scores, labels, mask):
     """(B,) AUC per impression via exact pairwise comparison.
 
     AUC = [#(pos>neg) + 0.5*#(pos==neg)] / (npos*nneg) — identical to the
-    tie-averaged rank formula sklearn uses. O(C^2) per impression, which for
-    C <= a few hundred is one small batched matmul-shaped op on the VPU; this
-    replaces the per-impression sklearn call at ``main.py:255``.
+    tie-averaged rank formula sklearn uses. O(C^2) per impression: at the
+    real-MIND candidate width C=384 that is ~147k score pairs per
+    impression, which round-5 profiling showed dominating eval phase 2.
+    Kept as a second independent implementation for the oracle cross-check
+    (tests/test_metrics.py); production eval uses the O(C log C)
+    ``batched_auc`` below — proven exactly equal across masks/ties.
     Degenerate impressions return 0 (exclude via valid_impression_mask).
     """
     scores = scores.astype(jnp.float32)
@@ -121,6 +124,66 @@ def batched_auc(scores, labels, mask):
     pair_mask = pos[..., :, None] * neg[..., None, :]
     num = jnp.sum(wins * pair_mask, axis=(-2, -1))
     den = jnp.sum(pos, axis=-1) * jnp.sum(neg, axis=-1)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+
+def batched_rankdata_average(x, axis: int = -1):
+    """Tie-averaged 1-based ranks along `axis` (batched scipy.rankdata).
+
+    Sort-based, O(C log C): for the element at sorted position k, the
+    averaged rank is (first(k) + last(k))/2 + 1 where first/last are the
+    0-based bounds of its tie group — computed with one cummax (group
+    starts carried forward) and one reversed cummin (group ends carried
+    backward), then scattered back through the inverse permutation.
+    Exactly equals the pairwise formula #less + (#equal+1)/2 (the numpy
+    oracle `_rankdata_average` above).
+    """
+    if axis != -1:
+        x = jnp.moveaxis(x, axis, -1)
+    c = x.shape[-1]
+    order = jnp.argsort(x, axis=-1, stable=True)
+    xs = jnp.take_along_axis(x, order, axis=-1)
+    idx = jnp.arange(c)
+    new_group = jnp.concatenate(
+        [jnp.ones(xs.shape[:-1] + (1,), bool), xs[..., 1:] != xs[..., :-1]],
+        axis=-1)
+    ax = x.ndim - 1  # lax.cummax/cummin reject negative axes
+    first = jax.lax.cummax(jnp.where(new_group, idx, 0), axis=ax)
+    last_of_group = jnp.concatenate(
+        [new_group[..., 1:], jnp.ones(xs.shape[:-1] + (1,), bool)], axis=-1)
+    last = jax.lax.cummin(jnp.where(last_of_group, idx, c - 1), axis=ax,
+                          reverse=True)
+    avg_rank_sorted = 0.5 * (first + last).astype(jnp.float32) + 1.0
+    inv = jnp.argsort(order, axis=-1, stable=True)
+    ranks = jnp.take_along_axis(avg_rank_sorted, inv, axis=-1)
+    if axis != -1:
+        ranks = jnp.moveaxis(ranks, -1, axis)
+    return ranks
+
+
+def batched_auc(scores, labels, mask):
+    """(B,) AUC per impression via tie-averaged ranks — O(C log C).
+
+    AUC = (sum of positive ranks − npos(npos+1)/2) / (npos·nneg), ranks
+    tie-averaged among REAL candidates: masked scores are pushed to -1e30
+    so they occupy the lowest npad ranks as one tie group, and subtracting
+    npad re-bases real candidates to ranks 1..nreal. Exactly equal to
+    ``batched_auc_pairwise`` (and sklearn) for all mask/tie patterns —
+    ranks and rank sums stay < 2^24 so float32 is exact. Replaces the
+    per-impression sklearn call at reference ``main.py:255``.
+    Degenerate impressions return 0 (exclude via valid_impression_mask).
+    """
+    scores = scores.astype(jnp.float32)
+    labels = labels.astype(jnp.float32) * mask
+    masked_scores = jnp.where(mask > 0, scores, _NEG_INF)
+    ranks = batched_rankdata_average(masked_scores)
+    npad = jnp.sum(1.0 - mask, axis=-1)
+    npos = jnp.sum(labels, axis=-1)
+    nreal = jnp.sum(mask, axis=-1)
+    nneg = nreal - npos
+    pos_rank_sum = jnp.sum((ranks - npad[..., None]) * labels, axis=-1)
+    num = pos_rank_sum - npos * (npos + 1.0) * 0.5
+    den = npos * nneg
     return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
 
 

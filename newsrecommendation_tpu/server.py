@@ -188,6 +188,17 @@ class BatchingScorer:
         self._q.put(_Request("stop", []))
         self._worker.join(timeout=5)
         if self._completer is not None:
+            # Only sentinel once the worker is confirmed dead: if the join
+            # above timed out while the worker was still blocked putting an
+            # in-flight batch into the bounded _done_q, a sentinel enqueued
+            # now could win the race into the freed slot and the completer
+            # would exit before delivering that batch's results. The
+            # completer is still consuming, so the worker's pending put
+            # drains — extend the grace period until it exits.
+            import time as _time
+            deadline = _time.monotonic() + 30
+            while self._worker.is_alive() and _time.monotonic() < deadline:
+                self._worker.join(timeout=0.5)
             # FIFO: the sentinel lands after any in-flight batches, so
             # their callers still get results before the completer exits
             self._done_q.put(None)

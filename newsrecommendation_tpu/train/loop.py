@@ -48,6 +48,7 @@ class _AsyncSaver:
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
         self._snap = jax.jit(lambda s: jax.tree_util.tree_map(
             lambda x: x + jnp.zeros((), x.dtype), s))
 
@@ -59,15 +60,27 @@ class _AsyncSaver:
             return
         snap = self._snap(state)
         self.wait()  # one in flight: bounds device memory at 2x state
+
+        def _write():
+            # Capture failures (disk full, serialization error): a daemon
+            # thread's exception otherwise vanishes into the excepthook and
+            # fit() would return success with a missing/partial checkpoint.
+            try:
+                _sync(save_dir, name, snap, cfg, **vocabs)
+            except BaseException as e:  # noqa: BLE001 — re-raised in wait()
+                self._error = e
+
         self._thread = threading.Thread(
-            target=_sync, args=(save_dir, name, snap, cfg), kwargs=vocabs,
-            daemon=True, name="ckpt-saver")
+            target=_write, daemon=True, name="ckpt-saver")
         self._thread.start()
 
     def wait(self):
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("background checkpoint write failed") from err
 
 
 def fit(cfg, model, state, samples, news_features, *, mesh=None,

@@ -74,10 +74,18 @@ def stage_ahead(items: Iterable[T], stage: Callable[[T], U],
                     except queue.Full:
                         continue
         except BaseException as e:  # noqa: BLE001 — relayed to the consumer
-            try:
-                q.put(_Raised(e), timeout=1.0)
-            except queue.Full:
-                pass
+            # Stop-aware retry loop (same shape as the _DONE put below): a
+            # one-shot timed put could drop the error when the bounded queue
+            # is full — the normal steady state when prefetch keeps ahead —
+            # and the iterator would then end early, silently truncating
+            # every remaining epoch.
+            raised = _Raised(e)
+            while not stop.is_set():
+                try:
+                    q.put(raised, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
         finally:
             stop_or_done = _DONE
             while not stop.is_set():

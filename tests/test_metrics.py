@@ -75,6 +75,48 @@ class TestBatchedJax:
         want = [M.roc_auc_score(y, s) for y, s in rows]
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_batched_auc_vs_pairwise_exact(self, rng):
+        """Sort-based AUC == pairwise AUC bit-for-bit intent: across random
+        masks, heavy ties, and degenerate rows (both return 0 there)."""
+        for cmax, tie_levels in [(30, None), (64, 3), (384, 5)]:
+            b = 16
+            scores = rng.normal(size=(b, cmax)).astype(np.float32)
+            if tie_levels:  # quantized scores -> many exact ties
+                scores = np.round(scores * tie_levels) / tie_levels
+            labels = rng.integers(0, 2, size=(b, cmax)).astype(np.float32)
+            mask = (rng.random((b, cmax)) < 0.7).astype(np.float32)
+            mask[:, 0] = 1.0
+            got = np.asarray(M.batched_auc(scores, labels, mask))
+            want = np.asarray(M.batched_auc_pairwise(scores, labels, mask))
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_batched_auc_ties_vs_oracle(self, rng):
+        """Tie-averaged ranks: integer scores against the sklearn-pinned
+        numpy oracle."""
+        b, cmax = 12, 24
+        scores = np.zeros((b, cmax), dtype=np.float32)
+        labels = np.zeros((b, cmax), dtype=np.float32)
+        mask = np.zeros((b, cmax), dtype=np.float32)
+        rows = []
+        for i in range(b):
+            n = int(rng.integers(4, cmax + 1))
+            y, _ = random_impression(rng, n)
+            s = rng.integers(0, 3, size=n).astype(np.float64)
+            scores[i, :n] = s
+            labels[i, :n] = y
+            mask[i, :n] = 1.0
+            rows.append((y, s))
+        got = np.asarray(M.batched_auc(scores, labels, mask))
+        want = [M.roc_auc_score(y, s) for y, s in rows]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_batched_rankdata_average(self, rng):
+        x = rng.integers(0, 5, size=(6, 40)).astype(np.float32)
+        got = np.asarray(M.batched_rankdata_average(x))
+        want = np.stack([M._rankdata_average(row.astype(np.float64))
+                         for row in x])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_batched_mrr_vs_oracle(self, rng):
         scores, labels, mask, rows = self._batch(rng)
         got = np.asarray(M.batched_mrr(scores, labels, mask))
