@@ -37,6 +37,11 @@ BASELINE_EPS = 1542.0
 BASELINE_NAML_EPS = 8807.0   # round-1 PERF.md f32 measurement
 BASELINE_TRAINABLE_EPS = 2636.0  # round-1 f32 rbg row (trainable table)
 BASELINE_QPS = None  # established this round
+# Round-5 first-class additions (VERDICT r4 #1): the end-to-end loop and
+# the two-phase eval pipeline at real-MIND candidate width. Anchors are
+# established the first round each is measured.
+BASELINE_FULL_LOOP_EPS = None
+BASELINE_EVAL_IPS = None
 
 # TPU v5 lite peak: ~197 TFLOP/s bf16, ~98.5 TFLOP/s f32 (for the MFU-style
 # "model TFLOP/s" context line; the estimate is analytic-FLOPs / time).
@@ -275,6 +280,59 @@ def bench_scoring_qps():
     return qps
 
 
+def _import_bench_loop():
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import bench_loop
+    return bench_loop
+
+
+def bench_full_loop():
+    """End-to-end fit() throughput: host batch gather + prefetch staging +
+    device_put + jitted step, on a production-dims synthetic corpus — the
+    number a user's training run actually sees (vs the device-only step
+    the headline measures). First-class per VERDICT r4 #1."""
+    import tempfile
+
+    BL = _import_bench_loop()
+    with tempfile.TemporaryDirectory() as root:
+        corpus, feats, samples = BL.build_data(root, 5000, 6000, 4,
+                                               model="NRMS")
+        stats = BL.run_one("NRMS", feats, samples, corpus, freeze=True,
+                           prefetch=2, epochs=2, batch_size=128,
+                           dtype="bfloat16", device_gather=True)
+    _emit("full_loop_examples_per_sec", stats["examples_per_sec"],
+          "examples/s", BASELINE_FULL_LOOP_EPS,
+          detail=f"fit() end to end, NRMS frozen bf16 batch 128, "
+                 f"{stats['steps']} steps, prefetch 2, device gather")
+    return stats["examples_per_sec"]
+
+
+def bench_eval_pipeline():
+    """Two-phase eval pipeline throughput at real-MIND candidate width
+    (C=300 padded to 320; MIND-small dev impressions reach ~300
+    candidates) — replaces the reference's per-impression CPU numpy loop
+    (main.py:249-263). First-class per VERDICT r4 #1."""
+    import tempfile
+
+    BL = _import_bench_loop()
+    with tempfile.TemporaryDirectory() as root:
+        corpus, feats, _ = BL.build_data(root, 5000, 200, 4, model="NRMS")
+        out = BL.run_eval("NRMS", feats, corpus, root, batch_size=128,
+                          cand=300, max_candidates=320,
+                          num_impressions=8000)
+    _emit("eval_pipeline_impressions_per_sec",
+          out["phase2_impressions_per_sec"], "impressions/s",
+          BASELINE_EVAL_IPS,
+          detail=f"phase 2 end to end, C=300 pad 320, batch 128, "
+                 f"sort-based rank AUC; phase1 {out['phase1_s']}s")
+    return out["phase2_impressions_per_sec"]
+
+
 def main(argv=None):
     import sys
 
@@ -309,6 +367,7 @@ def main(argv=None):
     # fresh when warm and still lands the headline with margin when cold —
     # skipped secondaries emit their LAST_KNOWN values either way.
     EST_TRAIN, EST_QPS, EST_HEADLINE = 700.0, 500.0, 900.0
+    EST_EVAL, EST_LOOP = 300.0, 600.0
 
     def have_time_for(est):
         spent = time.perf_counter() - t_start
@@ -354,6 +413,8 @@ def main(argv=None):
             "nrms_trainable_table_examples_per_sec_per_chip",
             BASELINE_TRAINABLE_EPS, nrms_forward_flops)),
         (EST_QPS, "impression_scoring_qps", bench_scoring_qps),
+        (EST_EVAL, "eval_pipeline_impressions_per_sec", bench_eval_pipeline),
+        (EST_LOOP, "full_loop_examples_per_sec", bench_full_loop),
     ]
     for est, name, fn in secondary:
         if have_time_for(est):

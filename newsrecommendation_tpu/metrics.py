@@ -161,27 +161,61 @@ def batched_rankdata_average(x, axis: int = -1):
     return ranks
 
 
+def _desc_avg_ranks(xs_desc):
+    """Tie-averaged 1-based DESCENDING ranks of an already-descending-
+    sorted array: rank of sorted position k = (first(k)+last(k))/2 + 1
+    where first/last bound k's tie group (cummax of group starts forward,
+    cummin of group ends backward). Two cumulative ops, no further sort.
+    """
+    c = xs_desc.shape[-1]
+    idx = jnp.arange(c)
+    ax = xs_desc.ndim - 1  # lax.cummax/cummin reject negative axes
+    new_group = jnp.concatenate(
+        [jnp.ones(xs_desc.shape[:-1] + (1,), bool),
+         xs_desc[..., 1:] != xs_desc[..., :-1]], axis=-1)
+    first = jax.lax.cummax(jnp.where(new_group, idx, 0), axis=ax)
+    last_of_group = jnp.concatenate(
+        [new_group[..., 1:], jnp.ones(xs_desc.shape[:-1] + (1,), bool)],
+        axis=-1)
+    last = jax.lax.cummin(jnp.where(last_of_group, idx, c - 1), axis=ax,
+                          reverse=True)
+    return 0.5 * (first + last).astype(jnp.float32) + 1.0
+
+
 def batched_auc(scores, labels, mask):
     """(B,) AUC per impression via tie-averaged ranks — O(C log C).
 
     AUC = (sum of positive ranks − npos(npos+1)/2) / (npos·nneg), ranks
-    tie-averaged among REAL candidates: masked scores are pushed to -1e30
-    so they occupy the lowest npad ranks as one tie group, and subtracting
-    npad re-bases real candidates to ranks 1..nreal. Exactly equal to
-    ``batched_auc_pairwise`` (and sklearn) for all mask/tie patterns —
-    ranks and rank sums stay < 2^24 so float32 is exact. Replaces the
-    per-impression sklearn call at reference ``main.py:255``.
-    Degenerate impressions return 0 (exclude via valid_impression_mask).
+    tie-averaged among REAL candidates. Computed FROM the descending sort
+    (the same argsort+gather ``batched_mrr``/``batched_ndcg`` perform, so
+    inside ``impression_metrics`` XLA CSEs it to one sort for all four
+    metrics): the rank SUM needs no scatter back to original positions —
+    it is a dot of the sorted-position average ranks with the sorted
+    labels. Ascending rank = C+1−descending rank; masked scores sit at
+    -1e30 (the bottom npad ascending ranks as one tie group) and
+    subtracting npad re-bases real candidates to ranks 1..nreal.
+
+    Exactly equal to ``batched_auc_pairwise`` (and sklearn) for all
+    mask/tie patterns — ranks and rank sums stay < 2^24 so float32 is
+    exact. Measured on TPU v5e at C=320/batch 128 this beats both the
+    pairwise grid and a scatter-back rankdata formulation (docs/PERF.md
+    round 5). Replaces the per-impression sklearn call at reference
+    ``main.py:255``. Degenerate impressions return 0 (exclude via
+    valid_impression_mask).
     """
     scores = scores.astype(jnp.float32)
     labels = labels.astype(jnp.float32) * mask
+    c = scores.shape[-1]
     masked_scores = jnp.where(mask > 0, scores, _NEG_INF)
-    ranks = batched_rankdata_average(masked_scores)
+    order = jnp.argsort(-masked_scores, axis=-1, stable=True)
+    xs_desc = jnp.take_along_axis(masked_scores, order, axis=-1)
+    sorted_labels = jnp.take_along_axis(labels, order, axis=-1)
+    asc_ranks = (c + 1.0) - _desc_avg_ranks(xs_desc)
     npad = jnp.sum(1.0 - mask, axis=-1)
     npos = jnp.sum(labels, axis=-1)
-    nreal = jnp.sum(mask, axis=-1)
-    nneg = nreal - npos
-    pos_rank_sum = jnp.sum((ranks - npad[..., None]) * labels, axis=-1)
+    nneg = jnp.sum(mask, axis=-1) - npos
+    pos_rank_sum = jnp.sum((asc_ranks - npad[..., None]) * sorted_labels,
+                           axis=-1)
     num = pos_rank_sum - npos * (npos + 1.0) * 0.5
     den = npos * nneg
     return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)

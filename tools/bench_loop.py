@@ -92,8 +92,25 @@ def run_one(model_name: str, feats, samples, corpus, *, freeze: bool,
     return stats
 
 
+def _set_auc_impl(impl: str):
+    """Swap the production batched AUC between the sort-based and the
+    pairwise implementation (same-session A/B; round-5 VERDICT #1), then
+    clear every trace cache that baked the old one in."""
+    from newsrecommendation_tpu import metrics as M
+    from newsrecommendation_tpu.eval import pipeline as EP
+
+    if not hasattr(M, "_auc_sort_impl"):
+        M._auc_sort_impl = M.batched_auc
+    M.batched_auc = (M.batched_auc_pairwise if impl == "pairwise"
+                     else M._auc_sort_impl)
+    M.impression_metrics.clear_cache()
+    EP.make_eval_step.cache_clear()
+
+
 def run_eval(model_name: str, feats, corpus, root: str, *, batch_size: int,
-             repeats: int = 3):
+             repeats: int = 3, cand: int = 20, max_candidates: int = 64,
+             num_impressions: int = 4000, auc_impl: str = "sort",
+             profile_dir: str | None = None):
     """Two-phase eval pipeline throughput (impressions/s through
     evaluate_impressions, device-side metric accumulation + staged
     batches) on a synthetic dev shard."""
@@ -111,15 +128,17 @@ def run_eval(model_name: str, feats, corpus, root: str, *, batch_size: int,
     )
     from newsrecommendation_tpu.models import get_model
 
-    dev_dir = os.path.join(root, "dev")
-    generate_corpus(dev_dir, num_news=len(corpus.news_index), num_users=300,
-                    num_impressions=4000, num_topics=12, title_len=18,
-                    max_history=50, candidates_per_impression=20, seed=9,
-                    split="dev")
+    _set_auc_impl(auc_impl)
+    dev_dir = os.path.join(root, f"dev_c{cand}_n{num_impressions}")
+    if not os.path.isdir(dev_dir):
+        generate_corpus(dev_dir, num_news=len(corpus.news_index),
+                        num_users=300, num_impressions=num_impressions,
+                        num_topics=12, title_len=18, max_history=50,
+                        candidates_per_impression=cand, seed=9, split="dev")
+        prepare_testing_data(dev_dir, 1)
     cfg = Config(model=model_name, title_source="word_ids",
                  eval_batch_size=batch_size, user_log_mask=True,
-                 deterministic=True, max_candidates=64)
-    prepare_testing_data(dev_dir, 1)
+                 deterministic=True, max_candidates=max_candidates)
     samples = EvalSamples.from_file(
         os.path.join(dev_dir, "behaviors_0.tsv"), corpus.news_index, cfg)
     model = get_model(cfg.model)
@@ -134,12 +153,18 @@ def run_eval(model_name: str, feats, corpus, root: str, *, batch_size: int,
     jax.block_until_ready(scoring)
     t_phase1 = time.perf_counter() - t0
     evaluate_impressions(model, params, cfg, samples, scoring)  # warm
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            evaluate_impressions(model, params, cfg, samples, scoring)
     t0 = time.perf_counter()
     for _ in range(repeats):
         res = evaluate_impressions(model, params, cfg, samples, scoring)
     dt = (time.perf_counter() - t0) / repeats
     return {
         "eval_impressions": samples.num_samples,
+        "cand": cand,
+        "max_candidates": max_candidates,
+        "auc_impl": auc_impl,
         "phase1_s": round(t_phase1, 2),
         "phase2_impressions_per_sec": round(samples.num_samples / dt, 1),
         "auc": round(100 * res["auc"], 2),
@@ -168,6 +193,19 @@ def main(argv=None):
     p.add_argument("--eval", action="store_true",
                    help="measure the two-phase eval pipeline instead of "
                         "training")
+    p.add_argument("--cand", default="20",
+                   help="eval only: comma list of candidates-per-impression "
+                        "widths for the synthetic dev set")
+    p.add_argument("--max_candidates", type=int, default=0,
+                   help="eval only: pad width (default: next multiple of 64 "
+                        ">= cand)")
+    p.add_argument("--eval_impressions", type=int, default=4000)
+    p.add_argument("--auc", default="sort",
+                   help="eval only: comma list from {sort,pairwise} to A/B "
+                        "the batched-AUC implementation")
+    p.add_argument("--profile_dir", default=None,
+                   help="eval only: capture one evaluate_impressions pass "
+                        "under jax.profiler.trace into this dir")
     args = p.parse_args(argv)
 
     with tempfile.TemporaryDirectory() as root:
@@ -175,10 +213,18 @@ def main(argv=None):
             root, args.num_news, args.num_impressions, args.npratio,
             model=args.model)
         if args.eval:
-            out = run_eval(args.model, feats, corpus, root,
-                           batch_size=args.batch_size)
-            print(json.dumps(dict({"model": args.model, "mode": "eval"},
-                                  **out)), flush=True)
+            for cand in [int(x) for x in args.cand.split(",")]:
+                maxc = args.max_candidates or -(-cand // 64) * 64
+                for impl in args.auc.split(","):
+                    out = run_eval(
+                        args.model, feats, corpus, root,
+                        batch_size=args.batch_size, cand=cand,
+                        max_candidates=maxc,
+                        num_impressions=args.eval_impressions, auc_impl=impl,
+                        profile_dir=args.profile_dir)
+                    print(json.dumps(dict({"model": args.model,
+                                           "mode": "eval"}, **out)),
+                          flush=True)
             return
         for gather in args.gather.split(","):
           for spc in [int(x) for x in args.steps_per_call.split(",")]:

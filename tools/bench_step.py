@@ -119,14 +119,19 @@ def main():
                     help="freeze_embedding=True (the reference demo.sh "
                          "training config; skips the table-grad scatter)")
     ap.add_argument("--variants", default="f32,bf16,f32 no-pallas,bf16 no-pallas")
+    ap.add_argument("--heads", type=int, default=20,
+                    help="num_attention_heads; d_head = news_dim/heads. "
+                         "8 is the TPU-friendly shape (d=50 vs the "
+                         "reference's 20x20) — VERDICT r4 task 7")
     args = ap.parse_args()
 
     base = dict(
         model=args.model, title_source="word_ids", num_words_title=20,
         user_log_length=50, word_embedding_dim=300, news_dim=400,
         news_query_vector_dim=200, user_query_vector_dim=200,
-        num_attention_heads=20, batch_size=128, npratio=4, drop_rate=0.2,
-        lr=3e-4, deterministic=False, freeze_embedding=args.freeze,
+        num_attention_heads=args.heads, batch_size=128, npratio=4,
+        drop_rate=0.2, lr=3e-4, deterministic=False,
+        freeze_embedding=args.freeze,
     )
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
           flush=True)

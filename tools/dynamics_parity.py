@@ -17,6 +17,19 @@ positive-slot placement), so trajectories agree statistically, not bitwise.
 Usage:
     python tools/dynamics_parity.py [--model NRMS|NAML|both] [--scale N]
     python tools/dynamics_parity.py --json   # machine-readable lines only
+    python tools/dynamics_parity.py --title_source both --seeds 3,5,7 \
+        --scale 3 --cpu    # full 4-combo x 3-seed matrix (round-5 record)
+
+Cross-format combos (NAML+word_ids, NRMS+doc_table): the reference
+hard-codes one input format per model (NAML.py:48 narrows a width-1 doc
+index; NRMS.py:86 reshapes to num_words_title word ids), so the torch side
+cannot consume the other format as-written. With a FROZEN table the two
+formats are mathematically identical — a doc_table whose row d is the
+flattened word embeddings of title d's (fixed) word ids produces the same
+title tensor as the word-id lookup — so each side consumes its model's
+native format built from ONE shared word table, and the comparison stays
+an unmodified-reference run. These combos therefore force
+freeze_embedding=True.
 """
 
 from __future__ import annotations
@@ -37,7 +50,15 @@ if REPO not in sys.path:
 
 def build_data(root: str, cfg, *, num_news=300, num_users=80,
                num_impressions=1500, dev_impressions=400, seed=7):
-    """Shared corpus: synthetic MIND dirs + prepared shards + features."""
+    """Shared corpus: synthetic MIND dirs + prepared shards + features.
+
+    Builds BOTH title formats from ONE word-embedding table: `word_ids`
+    features + word table W, and `doc_table` features + the flattened
+    table D whose row d is W[title-word-ids of doc d] — the construction
+    under which the two formats are mathematically identical for a frozen
+    table (the basis for the cross-format parity combos; see module
+    docstring). Returns per-format (feats, table) pairs for train and dev.
+    """
     from newsrecommendation_tpu.data.mind import (
         build_news_features,
         random_word_embeddings,
@@ -60,39 +81,42 @@ def build_data(root: str, cfg, *, num_news=300, num_users=80,
     prepare_training_data(train_dir, 1, cfg.npratio, cfg.seed)
     prepare_testing_data(dev_dir, 1)
 
+    cfg_w = cfg.replace(title_source="word_ids")
+    cfg_d = cfg.replace(title_source="doc_table")
     corpus = read_news(os.path.join(train_dir, "news.tsv"), cfg, "train")
-    feats = build_news_features(corpus, cfg)
     corpus_dev = read_news(os.path.join(dev_dir, "news.tsv"), cfg, "test",
                            category_dict=corpus.category_dict,
                            subcategory_dict=corpus.subcategory_dict,
                            word_dict=corpus.word_dict)
-    feats_dev = build_news_features(corpus_dev, cfg)
     eval_samples = EvalSamples.from_file(
         os.path.join(dev_dir, "behaviors_0.tsv"), corpus_dev.news_index, cfg,
         max_candidates=cfg.max_candidates)
 
-    if cfg.title_source == "word_ids":
-        table = random_word_embeddings(corpus.word_dict,
-                                       cfg.word_embedding_dim, seed=cfg.seed)
-        table_dev = table  # word vocab is train-time; shared at eval
-    else:
-        from newsrecommendation_tpu.data.embeddings import (
-            create_news_embeddings,
-            read_news_embeddings,
-        )
-        for d in (train_dir, dev_dir):
-            create_news_embeddings(d, cfg.num_words_title,
-                                   dim=cfg.word_embedding_dim, backend="hash")
-        table = read_news_embeddings(train_dir, backend="hash")
-        table_dev = read_news_embeddings(dev_dir, backend="hash")
+    t, wd = cfg.num_words_title, cfg.word_embedding_dim
+    table_w = random_word_embeddings(corpus.word_dict, wd, seed=cfg.seed)
 
+    def fmt_pair(corp):
+        fw = build_news_features(corp, cfg_w)
+        fd = build_news_features(corp, cfg_d)
+        # flattened per-title table: row d = concat of the title's word
+        # vectors — the fork's precompute artifact shape
+        # (preprocess.py:154-158), built from W instead of BPEmb/BERT
+        td = np.asarray(table_w)[fw[:, :t]].reshape(
+            fw.shape[0], t * wd).astype(np.float32)
+        return {"word_ids": (fw, table_w), "doc_table": (fd, td)}
+
+    by_fmt = fmt_pair(corpus)
+    by_fmt_dev = fmt_pair(corpus_dev)
+    ts = cfg.title_source
     return {
         "train_shard": os.path.join(
             train_dir, f"behaviors_np{cfg.npratio}_0.tsv"),
         "corpus": corpus, "corpus_dev": corpus_dev,
-        "feats": feats, "feats_dev": feats_dev,
+        "by_fmt": by_fmt, "by_fmt_dev": by_fmt_dev,
+        # cfg.title_source's own view (what run_jax consumes)
+        "feats": by_fmt[ts][0], "feats_dev": by_fmt_dev[ts][0],
         "eval_samples": eval_samples,
-        "table": table, "table_dev": table_dev,
+        "table": by_fmt[ts][1], "table_dev": by_fmt_dev[ts][1],
     }
 
 
@@ -158,35 +182,47 @@ def run_jax(cfg, data, params) -> dict:
     }
 
 
-def run_pair(model_name: str, *, scale: int = 1, epochs: int = 4,
-             root: str | None = None) -> Dict[str, dict]:
-    """Run both frameworks on one shared corpus; returns both records."""
+def native_format(model_name: str) -> str:
+    """The one input format the reference implements per model (NAML.py:48
+    doc-index narrow; NRMS.py:86 word-id reshape)."""
+    return "doc_table" if model_name == "NAML" else "word_ids"
+
+
+def make_cfg(model_name: str, title_source: str, *, seed: int, epochs: int):
     from newsrecommendation_tpu.config import Config
+
+    base = dict(
+        title_source=title_source, num_words_title=10, user_log_length=20,
+        word_embedding_dim=64, news_dim=64, num_attention_heads=8,
+        news_query_vector_dim=32, user_query_vector_dim=32, batch_size=32,
+        npratio=4, drop_rate=0.2, lr=1e-3, epochs=epochs,
+        user_log_mask=False, deterministic=False, seed=seed,
+        max_candidates=32, filter_num=0,
+    )
+    if model_name == "NRMS":
+        # native word_ids trains the word table (tightest optimizer
+        # coverage); doc_table must freeze (cross-format equivalence)
+        return Config(model="NRMS", use_category=False, use_subcategory=False,
+                      freeze_embedding=(title_source != "word_ids"), **base)
+    return Config(model="NAML", use_category=True, use_subcategory=True,
+                  category_emb_dim=32, freeze_embedding=True, **base)
+
+
+def run_pair(model_name: str, *, title_source: str | None = None,
+             seed: int = 3, scale: int = 1, epochs: int = 4,
+             root: str | None = None) -> Dict[str, dict]:
+    """Run both frameworks on one shared corpus; returns both records.
+
+    title_source is OUR side's input format (defaults to the model's
+    native one); the torch side always consumes the reference's native
+    format for the model, built from the same word table (see module
+    docstring on cross-format equivalence).
+    """
     from newsrecommendation_tpu.models import get_model
     import jax
 
-    if model_name == "NRMS":
-        cfg = Config(
-            model="NRMS", title_source="word_ids", num_words_title=10,
-            user_log_length=20, word_embedding_dim=64, news_dim=64,
-            num_attention_heads=8, news_query_vector_dim=32,
-            user_query_vector_dim=32, batch_size=32, npratio=4,
-            drop_rate=0.2, lr=1e-3, epochs=epochs, user_log_mask=False,
-            freeze_embedding=False, deterministic=False, seed=3,
-            max_candidates=32, filter_num=0, use_category=False,
-            use_subcategory=False,
-        )
-    else:
-        cfg = Config(
-            model="NAML", title_source="doc_table", num_words_title=10,
-            user_log_length=20, word_embedding_dim=64, news_dim=64,
-            num_attention_heads=8,
-            news_query_vector_dim=32, user_query_vector_dim=32,
-            batch_size=32, npratio=4, drop_rate=0.2, lr=1e-3, epochs=epochs,
-            user_log_mask=False, freeze_embedding=True, deterministic=False,
-            seed=3, max_candidates=32, filter_num=0, use_category=True,
-            use_subcategory=True, category_emb_dim=32,
-        )
+    title_source = title_source or native_format(model_name)
+    cfg = make_cfg(model_name, title_source, seed=seed, epochs=epochs)
 
     owns_root = root is None
     if owns_root:
@@ -204,21 +240,26 @@ def run_pair(model_name: str, *, scale: int = 1, epochs: int = 4,
                         n_cat, n_subcat)
 
     jax_rec = run_jax(cfg, data, params)
+    jax_rec["title_source"] = title_source
 
+    fmt_t = native_format(model_name)
+    feats_t, table_t = data["by_fmt"][fmt_t]
+    feats_t_dev, table_t_dev = data["by_fmt_dev"][fmt_t]
     from tools.torch_reference_run import run_reference
     torch_rec = run_reference(
-        cfg, data["train_shard"], data["corpus"].news_index, data["feats"],
-        np.asarray(data["table"], np.float32),
+        cfg, data["train_shard"], data["corpus"].news_index, feats_t,
+        np.asarray(table_t, np.float32),
         eval_samples=data["eval_samples"],
-        news_combined_eval=data["feats_dev"],
-        eval_table=(np.asarray(data["table_dev"], np.float32)
-                    if cfg.title_source == "doc_table" else None),
+        news_combined_eval=feats_t_dev,
+        eval_table=(np.asarray(table_t_dev, np.float32)
+                    if fmt_t == "doc_table" else None),
         init_params=params, seed=cfg.seed,
         num_category=n_cat, num_subcategory=n_subcat)
+    torch_rec["title_source"] = fmt_t
 
     if owns_root:
         tmp.cleanup()
-    return {"jax": jax_rec, "torch": torch_rec}
+    return {"jax": jax_rec, "torch": torch_rec, "seed": seed}
 
 
 def compare(pair: Dict[str, dict], *, loss_tol: float, auc_tol: float) -> dict:
@@ -243,30 +284,103 @@ def compare(pair: Dict[str, dict], *, loss_tol: float, auc_tol: float) -> dict:
     }
 
 
+def aggregate_combo(pairs: List[Dict[str, dict]]) -> dict:
+    """Across-seed statistics for one (model, title_source) combo.
+
+    Per side: mean±std of final AUC and final-epoch loss over seeds. The
+    cross-side comparison is mean_auc_diff vs the pooled per-side seed
+    spread — the variance-justified band the round-4 verdict asked for
+    (weak #1): a systematic framework defect shows up as a mean shift
+    larger than the seed noise, not as any single seed's gap.
+    """
+    j_auc = [p["jax"]["metrics"]["auc"] for p in pairs]
+    t_auc = [p["torch"]["metrics"]["auc"] for p in pairs]
+    j_loss = [p["jax"]["epoch_losses"][-1] for p in pairs]
+    t_loss = [p["torch"]["epoch_losses"][-1] for p in pairs]
+    per_seed_auc_diff = [abs(a - b) for a, b in zip(j_auc, t_auc)]
+    per_seed_loss_diff = [
+        max(abs(a - b) for a, b in zip(p["jax"]["epoch_losses"],
+                                       p["torch"]["epoch_losses"]))
+        for p in pairs]
+    spread = float(np.sqrt((np.var(j_auc) + np.var(t_auc)) / 2))
+    return {
+        "model": pairs[0]["jax"]["model"],
+        "title_source": pairs[0]["jax"]["title_source"],
+        "seeds": [p["seed"] for p in pairs],
+        "auc_jax_mean": round(float(np.mean(j_auc)), 2),
+        "auc_jax_std": round(float(np.std(j_auc)), 2),
+        "auc_torch_mean": round(float(np.mean(t_auc)), 2),
+        "auc_torch_std": round(float(np.std(t_auc)), 2),
+        "auc_mean_diff": round(abs(float(np.mean(j_auc))
+                                   - float(np.mean(t_auc))), 2),
+        "auc_seed_spread": round(spread, 2),
+        "auc_diff_per_seed": [round(d, 2) for d in per_seed_auc_diff],
+        "loss_jax_mean": round(float(np.mean(j_loss)), 4),
+        "loss_torch_mean": round(float(np.mean(t_loss)), 4),
+        "max_epoch_loss_diff_per_seed": [round(d, 4)
+                                         for d in per_seed_loss_diff],
+        "all_learning": all(
+            p[s]["epoch_losses"][-1] < p[s]["epoch_losses"][0]
+            for p in pairs for s in ("jax", "torch")),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="both", choices=["NRMS", "NAML", "both"])
+    ap.add_argument("--title_source", default="native",
+                    choices=["native", "word_ids", "doc_table", "both"],
+                    help="OUR side's input format; 'both' runs the full "
+                         "model x format matrix (torch always native)")
+    ap.add_argument("--seeds", default="3",
+                    help="comma list; >1 gives per-seed spread + "
+                         "variance-justified bands")
     ap.add_argument("--scale", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--loss_tol", type=float, default=0.08)
     ap.add_argument("--auc_tol", type=float, default=3.0)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX side onto CPU (so the matrix can "
+                         "run while the TPU chip is busy)")
     args = ap.parse_args(argv)
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     models = ["NRMS", "NAML"] if args.model == "both" else [args.model]
+    seeds = [int(s) for s in args.seeds.split(",")]
     ok = True
     for m in models:
-        pair = run_pair(m, scale=args.scale, epochs=args.epochs)
-        verdict = compare(pair, loss_tol=args.loss_tol, auc_tol=args.auc_tol)
-        if args.json:
-            print(json.dumps({"pair": pair, "verdict": verdict}))
-        else:
-            print(json.dumps(verdict, indent=2))
-            print(f"  jax   losses: {[round(x, 4) for x in pair['jax']['epoch_losses']]}")
-            print(f"  torch losses: {[round(x, 4) for x in pair['torch']['epoch_losses']]}")
-            print(f"  jax   metrics: {pair['jax']['metrics']}")
-            print(f"  torch metrics: {pair['torch']['metrics']}")
-        ok = ok and verdict["pass"]
+        sources = ([native_format(m), "doc_table" if m == "NRMS"
+                    else "word_ids"] if args.title_source == "both"
+                   else [None if args.title_source == "native"
+                         else args.title_source])
+        for src in sources:
+            pairs = [run_pair(m, title_source=src, seed=s, scale=args.scale,
+                              epochs=args.epochs) for s in seeds]
+            if len(seeds) > 1:
+                agg = aggregate_combo(pairs)
+                print(json.dumps(agg if not args.json
+                                 else {"combo": agg, "pairs": pairs}),
+                      flush=True)
+                ok = ok and agg["all_learning"] and (
+                    agg["auc_mean_diff"]
+                    <= max(args.auc_tol, 2 * agg["auc_seed_spread"]))
+                continue
+            pair = pairs[0]
+            verdict = compare(pair, loss_tol=args.loss_tol,
+                              auc_tol=args.auc_tol)
+            if args.json:
+                print(json.dumps({"pair": pair, "verdict": verdict}))
+            else:
+                print(json.dumps(verdict, indent=2))
+                print(f"  jax   losses: {[round(x, 4) for x in pair['jax']['epoch_losses']]}")
+                print(f"  torch losses: {[round(x, 4) for x in pair['torch']['epoch_losses']]}")
+                print(f"  jax   metrics: {pair['jax']['metrics']}")
+                print(f"  torch metrics: {pair['torch']['metrics']}")
+            ok = ok and verdict["pass"]
     return 0 if ok else 1
 
 

@@ -161,8 +161,17 @@ def run_reference(cfg, train_shard: str, news_index: Dict[str, int],
                           num_category=num_category,
                           num_subcategory=num_subcategory)
     if init_params is not None:
+        mapped = state_dict_from_pytree(init_params, cfg)
+        # The table handed to THIS side is authoritative: in the
+        # cross-format parity combos (tools/dynamics_parity.py) our pytree
+        # holds the other format's table (word vs flattened doc), so the
+        # mapped entry's shape would not match the reference module.
+        mapped["news_encoder.title_embeddings.weight"
+               if cfg.model == "NAML"
+               else "news_encoder.embedding_matrix.weight"] = (
+            embedding_matrix.astype(np.float32))
         sd = {k: torch.from_numpy(np.ascontiguousarray(v, dtype=np.float32))
-              for k, v in state_dict_from_pytree(init_params, cfg).items()}
+              for k, v in mapped.items()}
         missing, unexpected = tmodel.load_state_dict(sd, strict=False)
         # everything trainable must be covered; from_pretrained tables are
         # loaded too (same matrix both sides)
