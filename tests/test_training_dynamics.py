@@ -10,9 +10,18 @@ README.md:68-80 (VERDICT r3 task 1).
 
 Both sides share data bytes, the embedding table, and initial weights; the
 residual differences are framework RNG streams (dropout, positive-slot
-placement), so tolerances are statistical, not bitwise. Observed on the
-committed configs (3 epochs): NRMS max epoch-loss diff 0.014 / AUC diff
-1.4; NAML 0.0004 / 0.01.
+placement), so tolerances are statistical, not bitwise.
+
+The assertion bands are DERIVED from measured seed spread at this exact
+config (scale 1, 3 epochs, seeds 3/5/7 — round 5, 2026-08-21):
+  NRMS word_ids (trainable): per-seed AUC diff 1.39/0.02/0.69 (pooled
+    seed spread 0.95), max epoch-loss diff 0.0305 -> bands 2.5 AUC
+    (~2.6x spread) / 0.06 loss (2x worst seed).
+  NAML doc_table (frozen): per-seed AUC diff 0.12/0.16/0.05 (spread
+    0.31), max epoch-loss diff 0.0009 -> bands 0.75 AUC / 0.005 loss.
+The 3x-scale 4-combo matrix lives in docs/PARITY.md (round-5 section);
+re-derive with tools/dynamics_parity.py --seeds 3,5,7 if the config
+changes.
 """
 
 import os
@@ -30,17 +39,23 @@ pytestmark = [
 ]
 
 
-@pytest.mark.parametrize("model_name,loss_tol,auc_tol", [
+@pytest.mark.parametrize("model_name,title_source,loss_tol,auc_tol", [
     # NRMS: trainable word table, dropout on both sides -> loosest band
-    ("NRMS", 0.08, 3.0),
+    ("NRMS", None, 0.06, 2.5),
     # NAML: frozen doc table -> dynamics nearly identical
-    ("NAML", 0.02, 1.0),
+    ("NAML", None, 0.005, 0.75),
+    # cross-format combos (frozen-table equivalence; torch side runs its
+    # native format — tools/dynamics_parity.py module docstring). Frozen
+    # tables keep dynamics near-identical -> NAML-tier bands.
+    ("NRMS", "doc_table", 0.06, 1.0),
+    ("NAML", "word_ids", 0.005, 0.75),
 ])
-def test_training_dynamics_match_reference(model_name, loss_tol, auc_tol,
-                                           tmp_path):
+def test_training_dynamics_match_reference(model_name, title_source,
+                                           loss_tol, auc_tol, tmp_path):
     from tools.dynamics_parity import compare, run_pair
 
-    pair = run_pair(model_name, epochs=3, root=str(tmp_path))
+    pair = run_pair(model_name, title_source=title_source, epochs=3,
+                    root=str(tmp_path))
     verdict = compare(pair, loss_tol=loss_tol, auc_tol=auc_tol)
     assert verdict["both_loss_decreasing"], verdict
     assert verdict["max_epoch_loss_diff"] <= loss_tol, verdict
