@@ -85,6 +85,10 @@ class Config:
     param_dtype: str = "float32"
     eval_batch_size: int = 128
     eval_news_chunk: int = 1024  # corpus chunk for news-vector precompute
+    # k>1: scan k eval batches per device dispatch (amortizes per-dispatch
+    # transport overhead — measured ~6 ms/dispatch on the remote-TPU
+    # tunnel, round 5); leftovers run the single-batch program
+    eval_steps_per_call: int = 8
     max_candidates: int = 384  # impression padding width at eval (MIND dev max ~300)
     donate_state: bool = True
     steps_per_call: int = 1  # k>1: lax.scan k optimizer steps per dispatch
@@ -179,6 +183,9 @@ class Config:
         if self.steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, "
                              f"got {self.steps_per_call}")
+        if self.eval_steps_per_call < 1:
+            raise ValueError(f"eval_steps_per_call must be >= 1, "
+                             f"got {self.eval_steps_per_call}")
         if self.prefetch_depth < 0:
             raise ValueError(f"prefetch_depth must be >= 0, "
                              f"got {self.prefetch_depth}")

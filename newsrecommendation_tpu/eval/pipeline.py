@@ -124,6 +124,17 @@ def _news_encode_jit(model, cfg):
     return jax.jit(lambda p, feats: model.news_encoder(p, cfg, feats))
 
 
+def _eval_metrics_body(model, cfg, params, news_scoring, batch):
+    params = {"user_encoder": params["user_encoder"]}  # enforce contract
+    hist_vecs = jnp.take(news_scoring, batch["history"], axis=0)
+    user_vecs = model.user_encoder(params, cfg, hist_vecs,
+                                   batch["history_mask"])
+    scores = score_cached_impressions(news_scoring, batch["candidates"],
+                                      user_vecs)
+    return impression_metrics(scores, batch["labels"],
+                              batch["candidate_mask"])
+
+
 @functools.lru_cache(maxsize=32)
 def make_eval_step(model, cfg):
     """One jitted eval computation per fixed-shape impression batch.
@@ -138,16 +149,53 @@ def make_eval_step(model, cfg):
 
     @jax.jit
     def eval_step(params, news_scoring, batch):
-        params = {"user_encoder": params["user_encoder"]}  # enforce contract
-        hist_vecs = jnp.take(news_scoring, batch["history"], axis=0)
-        user_vecs = model.user_encoder(params, cfg, hist_vecs,
-                                       batch["history_mask"])
-        scores = score_cached_impressions(news_scoring, batch["candidates"],
-                                          user_vecs)
-        return impression_metrics(scores, batch["labels"],
-                                  batch["candidate_mask"])
+        return _eval_metrics_body(model, cfg, params, news_scoring, batch)
 
     return eval_step
+
+
+@functools.lru_cache(maxsize=32)
+def make_eval_step_acc(model, cfg):
+    """Accumulating variant: the running metric sums ride INSIDE the jit,
+    so phase 2 costs exactly ONE device dispatch per batch. The previous
+    eager per-batch `sums[k] + out[k]` adds were 5 separate tiny XLA
+    dispatches, which on a remote-TPU transport cost an RPC round trip
+    each — profiled round 5 as ~5 ms of the 8.7 ms/batch wall at C=320
+    (device compute: 1.8 ms, host->device transfer: 0.9 ms). Same
+    params-subtree contract as make_eval_step."""
+
+    @jax.jit
+    def eval_step_acc(params, news_scoring, batch, sums):
+        out = _eval_metrics_body(model, cfg, params, news_scoring, batch)
+        return {k: sums[k] + out[k] for k in sums}
+
+    return eval_step_acc
+
+
+@functools.lru_cache(maxsize=32)
+def make_eval_multi_step_acc(model, cfg, k: int):
+    """k stacked eval batches per device dispatch, scanned inside one jit.
+
+    Round-5 profiling at C=320/batch 128: device compute 1.8 ms and
+    host->device transfer 0.9 ms per batch, yet the loop walls ~8 ms per
+    batch — the per-dispatch overhead of the remote-TPU transport
+    dominates, and neither bigger batches (512: +6%) nor in-jit sum
+    accumulation (+8%) moves it. Amortizing k batches per dispatch
+    divides that overhead by k — the eval twin of the train loop's
+    cfg.steps_per_call scan (train/step.py:make_multi_step). Leftover
+    batches (< k at end of shard) go through the single-step program.
+    """
+
+    @jax.jit
+    def eval_multi_acc(params, news_scoring, stacked, sums):
+        def body(s, batch):
+            out = _eval_metrics_body(model, cfg, params, news_scoring, batch)
+            return {kk: s[kk] + out[kk] for kk in s}, jnp.zeros(())
+
+        sums, _ = jax.lax.scan(body, sums, stacked)
+        return sums
+
+    return eval_multi_acc
 
 
 def combine_metric_sums(per_shard_sums) -> Dict[str, float]:
@@ -211,7 +259,7 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
     return_sums=True returns the raw LOCAL sums dict instead of means
     (used by tests to check shard-combine math against a full run).
     """
-    eval_step = make_eval_step(model, cfg)
+    eval_step_acc = make_eval_step_acc(model, cfg)
     batch_sharding = None
     if mesh is not None and jax.process_count() > 1:
         # Multi-controller: every process evaluates its OWN impression shard
@@ -268,19 +316,54 @@ def evaluate_impressions(model, params, cfg, eval_samples, news_scoring,
             sums_host[k] += float(sums_dev[k])  # sync point
         sums_dev = {k: jnp.zeros(()) for k in metric_keys}
 
-    def stage(batch):
-        dev = {
-            k: (jnp.asarray(v) if batch_sharding is None
-                else jax.device_put(v, batch_sharding))
-            for k, v in batch.items() if k != "num_real"
-        }
-        return dev, batch["num_real"]
+    kk = max(1, int(getattr(cfg, "eval_steps_per_call", 8)))
+    eval_multi_acc = (make_eval_multi_step_acc(model, cfg, kk)
+                      if kk > 1 else None)
+    stacked_sharding = None
+    if batch_sharding is not None and kk > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    staged = stage_ahead(eval_samples.iter_batches(cfg.eval_batch_size),
-                         stage, depth=getattr(cfg, "prefetch_depth", 2))
-    for cnt, (dev_batch, num_real) in enumerate(staged):
-        out = eval_step(params, news_scoring, dev_batch)
-        sums_dev = {k: sums_dev[k] + out[k] for k in metric_keys}
+        stacked_sharding = NamedSharding(batch_sharding.mesh,
+                                         P(None, "data"))
+
+    def grouped():
+        pending = []
+        for batch in eval_samples.iter_batches(cfg.eval_batch_size):
+            if kk == 1:
+                yield "single", [batch]
+                continue
+            pending.append(batch)
+            if len(pending) == kk:
+                yield "stack", pending
+                pending = []
+        for batch in pending:  # < kk leftovers: single-step program
+            yield "single", [batch]
+
+    def stage(item):
+        kind, batches = item
+        num_real = sum(b["num_real"] for b in batches)
+
+        def put(v, sh):
+            return jnp.asarray(v) if sh is None else jax.device_put(v, sh)
+
+        if kind == "stack":
+            dev = {k: put(np.stack([b[k] for b in batches]),
+                          stacked_sharding)
+                   for k in batches[0] if k != "num_real"}
+        else:
+            dev = {k: put(v, batch_sharding)
+                   for k, v in batches[0].items() if k != "num_real"}
+        return kind, dev, num_real
+
+    staged = stage_ahead(grouped(), stage,
+                         depth=getattr(cfg, "prefetch_depth", 2))
+    for cnt, (kind, dev_batch, num_real) in enumerate(staged):
+        if kind == "stack":
+            sums_dev = eval_multi_acc(params, news_scoring, dev_batch,
+                                      sums_dev)
+        else:
+            sums_dev = eval_step_acc(params, news_scoring, dev_batch,
+                                     sums_dev)
         seen += num_real
         if (cnt + 1) % _FOLD_EVERY == 0:
             fold()

@@ -105,12 +105,13 @@ def _set_auc_impl(impl: str):
                      else M._auc_sort_impl)
     M.impression_metrics.clear_cache()
     EP.make_eval_step.cache_clear()
+    EP.make_eval_step_acc.cache_clear()
 
 
 def run_eval(model_name: str, feats, corpus, root: str, *, batch_size: int,
              repeats: int = 3, cand: int = 20, max_candidates: int = 64,
              num_impressions: int = 4000, auc_impl: str = "sort",
-             profile_dir: str | None = None):
+             profile_dir: str | None = None, eval_k: int = 8):
     """Two-phase eval pipeline throughput (impressions/s through
     evaluate_impressions, device-side metric accumulation + staged
     batches) on a synthetic dev shard."""
@@ -138,7 +139,8 @@ def run_eval(model_name: str, feats, corpus, root: str, *, batch_size: int,
         prepare_testing_data(dev_dir, 1)
     cfg = Config(model=model_name, title_source="word_ids",
                  eval_batch_size=batch_size, user_log_mask=True,
-                 deterministic=True, max_candidates=max_candidates)
+                 deterministic=True, max_candidates=max_candidates,
+                 eval_steps_per_call=eval_k)
     samples = EvalSamples.from_file(
         os.path.join(dev_dir, "behaviors_0.tsv"), corpus.news_index, cfg)
     model = get_model(cfg.model)
@@ -203,6 +205,9 @@ def main(argv=None):
     p.add_argument("--auc", default="sort",
                    help="eval only: comma list from {sort,pairwise} to A/B "
                         "the batched-AUC implementation")
+    p.add_argument("--eval_k", default="8",
+                   help="eval only: comma list of eval_steps_per_call "
+                        "values (batches scanned per dispatch)")
     p.add_argument("--profile_dir", default=None,
                    help="eval only: capture one evaluate_impressions pass "
                         "under jax.profiler.trace into this dir")
@@ -216,12 +221,14 @@ def main(argv=None):
             for cand in [int(x) for x in args.cand.split(",")]:
                 maxc = args.max_candidates or -(-cand // 64) * 64
                 for impl in args.auc.split(","):
+                  for ek in [int(x) for x in args.eval_k.split(",")]:
                     out = run_eval(
                         args.model, feats, corpus, root,
                         batch_size=args.batch_size, cand=cand,
                         max_candidates=maxc,
                         num_impressions=args.eval_impressions, auc_impl=impl,
-                        profile_dir=args.profile_dir)
+                        profile_dir=args.profile_dir, eval_k=ek)
+                    out["eval_k"] = ek
                     print(json.dumps(dict({"model": args.model,
                                            "mode": "eval"}, **out)),
                           flush=True)

@@ -40,7 +40,7 @@ T, WD = 20, 768
 NEWS_DIM = 400
 
 
-def make_cfg(batch_size: int):
+def make_cfg(batch_size: int, table_shards: int = 1):
     from newsrecommendation_tpu.config import Config
 
     return Config(
@@ -50,6 +50,7 @@ def make_cfg(batch_size: int):
         batch_size=batch_size, drop_rate=0.2, lr=3e-4,
         freeze_embedding=True, use_category=True, use_subcategory=True,
         compute_dtype="bfloat16", deterministic=False,
+        table_shards=table_shards,
     )
 
 
@@ -167,7 +168,7 @@ def run_dryrun(batch_size: int, table_shards: int = 4):
     )
     from newsrecommendation_tpu.train import create_train_state
 
-    cfg = make_cfg(batch_size)
+    cfg = make_cfg(batch_size, table_shards=table_shards)
     model = get_model(cfg.model)
     n_cat = 300
     mesh = make_mesh(data_parallel=8 // table_shards,
@@ -186,10 +187,11 @@ def run_dryrun(batch_size: int, table_shards: int = 4):
     assert abs(per_device * table_shards - total_bytes) <= total_bytes * 0.01, (
         per_device, total_bytes)
 
-    step = make_spmd_train_step(cfg, model, mesh, state, table_sharded=True)
+    host_batch = make_batches(cfg, n_cat, count=1)[0]
+    step = make_spmd_train_step(cfg, model, mesh, state, host_batch)
     from newsrecommendation_tpu.parallel.mesh import shard_batch
-    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in
-                               make_batches(cfg, n_cat, count=1)[0].items()})
+    batch = shard_batch(mesh, {k: jnp.asarray(v)
+                               for k, v in host_batch.items()})
     t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.PRNGKey(0))
     loss = float(m["loss"])

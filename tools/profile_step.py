@@ -137,6 +137,7 @@ def main():
         from newsrecommendation_tpu.ops.pallas import set_pallas_mode
 
         set_pallas_mode(args.pallas)
+        naml = args.model == "NAML"
         cfg = Config(
             model=args.model, title_source="word_ids", num_words_title=20,
             user_log_length=50, word_embedding_dim=300, news_dim=400,
@@ -144,6 +145,8 @@ def main():
             num_attention_heads=20, batch_size=128, npratio=4, drop_rate=0.2,
             lr=3e-4, deterministic=False, compute_dtype=args.dtype,
             freeze_embedding=args.freeze,
+            # match bench.py's NAML line (cat+subcat views on)
+            use_category=naml, use_subcategory=naml,
         )
         capture(cfg, args.trace_dir)
     summarize(args.trace_dir, args.top)
