@@ -39,22 +39,25 @@ pytestmark = [
 ]
 
 
-@pytest.mark.parametrize("model_name,title_source,loss_tol,auc_tol", [
+@pytest.mark.parametrize("model_name,title_source,epochs,loss_tol,auc_tol", [
     # NRMS: trainable word table, dropout on both sides -> loosest band
-    ("NRMS", None, 0.06, 2.5),
+    ("NRMS", None, 3, 0.06, 2.5),
     # NAML: frozen doc table -> dynamics nearly identical
-    ("NAML", None, 0.005, 0.75),
+    ("NAML", None, 3, 0.005, 0.75),
     # cross-format combos (frozen-table equivalence; torch side runs its
     # native format — tools/dynamics_parity.py module docstring). Frozen
-    # tables keep dynamics near-identical -> NAML-tier bands.
-    ("NRMS", "doc_table", 0.06, 1.0),
-    ("NAML", "word_ids", 0.005, 0.75),
+    # tables keep dynamics near-identical -> tight bands; frozen NRMS
+    # learns slowly (no trainable table), so it needs 6 epochs to clear
+    # the >60-AUC learning bar (measured: 70.5/70.1 AUC, diff 0.4,
+    # max epoch-loss diff 0.0175 at 6 epochs).
+    ("NRMS", "doc_table", 6, 0.06, 1.0),
+    ("NAML", "word_ids", 3, 0.005, 0.75),
 ])
-def test_training_dynamics_match_reference(model_name, title_source,
+def test_training_dynamics_match_reference(model_name, title_source, epochs,
                                            loss_tol, auc_tol, tmp_path):
     from tools.dynamics_parity import compare, run_pair
 
-    pair = run_pair(model_name, title_source=title_source, epochs=3,
+    pair = run_pair(model_name, title_source=title_source, epochs=epochs,
                     root=str(tmp_path))
     verdict = compare(pair, loss_tol=loss_tol, auc_tol=auc_tol)
     assert verdict["both_loss_decreasing"], verdict
