@@ -52,7 +52,11 @@ def run_one(heads: int, seed: int, data, *, epochs: int, batch_size: int):
         user_log_length=50, word_embedding_dim=300, news_dim=400,
         news_query_vector_dim=200, user_query_vector_dim=200,
         num_attention_heads=heads, batch_size=batch_size, npratio=4,
-        drop_rate=0.2, lr=3e-4, epochs=epochs, freeze_embedding=True,
+        # trainable word table (the reference's NRMS setup): a FROZEN
+        # random table leaves nothing to learn from on the synthetic
+        # corpus — a first pass with freeze=True sat at chance AUC on
+        # both head counts, which compares nothing
+        drop_rate=0.2, lr=3e-4, epochs=epochs, freeze_embedding=False,
         compute_dtype="bfloat16", seed=seed, log_steps=50,
         eval_batch_size=128, max_candidates=64, device_gather=True,
         user_log_mask=False,
@@ -70,7 +74,8 @@ def run_one(heads: int, seed: int, data, *, epochs: int, batch_size: int):
     state, stats = fit(cfg, model, state, samples, feats)
 
     eval_cfg = cfg.replace(user_log_mask=True, deterministic=True)
-    scoring = compute_news_scoring(model, state.params, eval_cfg, feats)
+    scoring = compute_news_scoring(model, state.params, eval_cfg,
+                                   data["feats_dev"])
     metrics = evaluate_impressions(model, state.params, eval_cfg,
                                    data["eval_samples"], scoring)
     return {
@@ -86,7 +91,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--heads", default="20,8")
     ap.add_argument("--seeds", default="0,1,2")
-    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--num_news", type=int, default=3000)
     ap.add_argument("--num_impressions", type=int, default=8000)
@@ -97,6 +102,7 @@ def main():
 
     from newsrecommendation_tpu.data import prepare_testing_data
     from newsrecommendation_tpu.data.loader import EvalSamples
+    from newsrecommendation_tpu.data.mind import build_news_features, read_news
     from newsrecommendation_tpu.data.synthetic import generate_corpus
     from newsrecommendation_tpu.config import Config
 
@@ -112,11 +118,20 @@ def main():
         prepare_testing_data(dev_dir, 1)
         probe_cfg = Config(model="NRMS", title_source="word_ids",
                            max_candidates=64)
+        # the DEV corpus's own features (its doc ids name DIFFERENT news
+        # than the train corpus's — scoring dev impressions against train
+        # features is chance AUC by construction), words mapped through
+        # the train vocab (the generator's topic->word pools are global)
+        corpus_dev = read_news(os.path.join(dev_dir, "news.tsv"), probe_cfg,
+                               "test", category_dict=corpus.category_dict,
+                               subcategory_dict=corpus.subcategory_dict,
+                               word_dict=corpus.word_dict)
+        feats_dev = build_news_features(corpus_dev, probe_cfg)
         eval_samples = EvalSamples.from_file(
-            os.path.join(dev_dir, "behaviors_0.tsv"), corpus.news_index,
+            os.path.join(dev_dir, "behaviors_0.tsv"), corpus_dev.news_index,
             probe_cfg)
         data = {
-            "corpus": corpus, "feats": feats,
+            "corpus": corpus, "feats": feats, "feats_dev": feats_dev,
             "train_shard": os.path.join(root, "train", "behaviors_np4_0.tsv"),
             "eval_samples": eval_samples,
         }
