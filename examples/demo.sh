@@ -35,7 +35,10 @@ elif [ "${mode}" == parity ]; then
   # (README.md:68-80); add --dry_run for the offline synthetic validation
   python tools/parity_run.py --data_root data "${@:2}"
 elif [ "${mode}" == nrms ]; then
-  # reference README NRMS row: title-only word-id pipeline, 4 epochs
+  # reference README NRMS row: title-only word-id pipeline, 4 epochs.
+  # TPU tip: add --num_attention_heads 8 (d=50) for +44% step throughput
+  # at equal-or-better synthetic AUC (docs/PERF.md round 5) — off here to
+  # keep the published-row parity semantics (20 heads x d=20).
   python -m newsrecommendation_tpu.cli --mode train_test --model NRMS \
     --title_source word_ids --epochs 4 --batch_size 32 --lr 0.0003 \
     --model_dir model/NRMS --train_data_dir ${train_data_dir} \

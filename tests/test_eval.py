@@ -235,3 +235,33 @@ def test_eval_jits_cached_per_model_cfg(tiny_cfg):
                                                                  tiny_cfg)
     other = tiny_cfg.replace(eval_batch_size=tiny_cfg.eval_batch_size + 1)
     assert make_eval_step(model, other) is not make_eval_step(model, tiny_cfg)
+
+
+def test_eval_scan_matches_single_dispatch(tiny_cfg, rng, model_and_params,
+                                           synthetic_dirs):
+    """eval_steps_per_call k>1 (lax.scan over stacked batches, sums as the
+    carry) must produce identical metric sums to k=1 — including the
+    leftover <k tail going through the single-batch program."""
+    import os
+    from newsrecommendation_tpu.data import prepare_testing_data, read_news
+
+    model, params = model_and_params
+    _, dev_dir = synthetic_dirs
+    prepare_testing_data(dev_dir, 1)
+    base = tiny_cfg.replace(eval_batch_size=8, filter_num=0)
+    corpus = read_news(os.path.join(dev_dir, "news.tsv"), base, "test")
+    es = EvalSamples.from_file(os.path.join(dev_dir, "behaviors_0.tsv"),
+                               corpus.news_index, base)
+    news_scoring = np.asarray(
+        rng.normal(size=(corpus.num_news + 1, base.news_dim)),
+        dtype=np.float32)
+
+    single = evaluate_impressions(model, params,
+                                  base.replace(eval_steps_per_call=1),
+                                  es, news_scoring, return_sums=True)
+    scanned = evaluate_impressions(model, params,
+                                   base.replace(eval_steps_per_call=3),
+                                   es, news_scoring, return_sums=True)
+    assert single.keys() == scanned.keys()
+    for k in single:
+        assert scanned[k] == pytest.approx(single[k], rel=1e-6), k
