@@ -320,3 +320,21 @@ class TestSpmdDeviceGather:
         for a, bb in zip(jax.tree_util.tree_leaves(st_h.params),
                          jax.tree_util.tree_leaves(st_d.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_memory_wall_sharded_table_dryrun():
+    """The SURVEY §2.3 memory-wall claim as an executable assertion: the
+    reference replicates its frozen title table per device
+    (NAML.py:105-107); row-sharding over the 'table' axis must hold
+    exactly total/shards bytes per device AND still execute the full spmd
+    NAML train step. Runs the same code path as
+    `tools/bench_memory_wall.py --dryrun` at reduced dims (the byte
+    arithmetic is scale-invariant; the full 6 GB MIND-large record lives
+    in BASELINE.md round 5)."""
+    from tools.bench_memory_wall import run_dryrun
+
+    rec = run_dryrun(batch_size=8, table_shards=4, num_news=1023,
+                     row_width=10 * 16, quiet=True)
+    assert rec["step_ok"], rec
+    assert rec["table_bytes_per_device"] * 4 == rec["table_bytes_total"], rec
+    assert rec["mesh"] == {"data": 2, "table": 4}

@@ -54,19 +54,23 @@ def make_cfg(batch_size: int, table_shards: int = 1):
     )
 
 
-def make_table(num_rows: int) -> np.ndarray:
-    """(num_rows, T*WD) f32 filled from a tiled random block (full random
+def make_table_dims(num_rows: int, width: int) -> np.ndarray:
+    """(num_rows, width) f32 filled from a tiled random block (full random
     generation of 1.6e9 floats is minutes on this host; the values only
     need to be non-degenerate)."""
     rng = np.random.default_rng(0)
-    block = rng.normal(0, 0.06, size=(1024, T * WD)).astype(np.float32)
+    block = rng.normal(0, 0.06, size=(1024, width)).astype(np.float32)
     reps = -(-num_rows // 1024)
     table = np.tile(block, (reps, 1))[:num_rows]
     table[0] = 0.0
     return table
 
 
-def make_batches(cfg, n_cat: int, count: int = 8):
+def make_table(num_rows: int) -> np.ndarray:
+    return make_table_dims(num_rows, T * WD)
+
+
+def make_batches(cfg, n_cat: int, count: int = 8, num_news: int = NUM_NEWS):
     out = []
     b, l, k = cfg.batch_size, cfg.user_log_length, cfg.npratio
     f = cfg.news_feature_width
@@ -75,7 +79,7 @@ def make_batches(cfg, n_cat: int, count: int = 8):
 
         def rows(shape):
             a = np.zeros(shape + (f,), np.int32)
-            a[..., 0] = r.integers(0, NUM_NEWS + 1, size=shape)
+            a[..., 0] = r.integers(0, num_news + 1, size=shape)
             a[..., 1] = r.integers(0, n_cat + 1, size=shape)
             a[..., 2] = r.integers(0, n_cat + 1, size=shape)
             return a
@@ -152,7 +156,14 @@ def run_chip(batch_size: int, iters: int = 60):
     }), flush=True)
 
 
-def run_dryrun(batch_size: int, table_shards: int = 4):
+def run_dryrun(batch_size: int, table_shards: int = 4,
+               num_news: int = NUM_NEWS, row_width: int = T * WD,
+               quiet: bool = False):
+    """Sharded-table memory proof on the virtual-CPU mesh; returns the
+    result record. num_news/row_width default to the full MIND-large dims
+    (~6 GB host RAM); tests/test_sharding.py runs the same code at
+    reduced dims — the per-device-bytes assertion is shape arithmetic and
+    scale-invariant."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -169,11 +180,18 @@ def run_dryrun(batch_size: int, table_shards: int = 4):
     from newsrecommendation_tpu.train import create_train_state
 
     cfg = make_cfg(batch_size, table_shards=table_shards)
+    if row_width != T * WD:
+        assert row_width % cfg.num_words_title == 0
+        cfg = cfg.replace(
+            word_embedding_dim=row_width // cfg.num_words_title,
+            news_dim=128, news_query_vector_dim=32, user_query_vector_dim=32,
+            num_attention_heads=8)
     model = get_model(cfg.model)
     n_cat = 300
     mesh = make_mesh(data_parallel=8 // table_shards,
                      table_shards=table_shards)
-    table = shard_table(make_table(NUM_NEWS + 1), table_shards)
+    table = shard_table(make_table_dims(num_news + 1, row_width),
+                        table_shards)
     total_bytes = table.nbytes
     params = model.init(jax.random.PRNGKey(0), cfg, table, n_cat, n_cat)
     state = create_train_state(cfg, params)
@@ -187,7 +205,7 @@ def run_dryrun(batch_size: int, table_shards: int = 4):
     assert abs(per_device * table_shards - total_bytes) <= total_bytes * 0.01, (
         per_device, total_bytes)
 
-    host_batch = make_batches(cfg, n_cat, count=1)[0]
+    host_batch = make_batches(cfg, n_cat, count=1, num_news=num_news)[0]
     step = make_spmd_train_step(cfg, model, mesh, state, host_batch)
     from newsrecommendation_tpu.parallel.mesh import shard_batch
     batch = shard_batch(mesh, {k: jnp.asarray(v)
@@ -195,16 +213,21 @@ def run_dryrun(batch_size: int, table_shards: int = 4):
     t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.PRNGKey(0))
     loss = float(m["loss"])
-    print(json.dumps({
+    record = {
         "mode": "dryrun", "mesh": dict(mesh.shape),
-        "table_shape": [NUM_NEWS + 1, T * WD],
+        "table_shape": [num_news + 1, row_width],
         "table_gb_total": round(total_bytes / 2**30, 2),
+        "table_bytes_total": total_bytes,
+        "table_bytes_per_device": per_device,
         "table_gb_per_device": round(per_device / 2**30, 2),
         "replication_factor_vs_reference": table_shards,
         "step_ok": bool(np.isfinite(loss)),
         "loss": round(loss, 4),
         "step_s_cold": round(time.perf_counter() - t0, 1),
-    }), flush=True)
+    }
+    if not quiet:
+        print(json.dumps(record), flush=True)
+    return record
 
 
 def main():
