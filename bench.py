@@ -1,11 +1,12 @@
-"""Benchmarks: training throughput + impression-scoring QPS on one TPU chip.
+"""Benchmarks: training, eval, and serving throughput on one TPU chip.
 
 Emits MULTIPLE JSON lines (one metric each): NAML training, NRMS with a
-TRAINABLE word table, impression-scoring QPS, and — LAST, as the headline
-metric the driver records — NRMS at the reference demo config (frozen
-table, bf16 activations). Each training line carries an analytic-FLOPs
-model-TFLOP/s estimate so "is it actually fast" is answerable in absolute
-terms, not only against this repo's own anchor.
+TRAINABLE word table, impression-scoring QPS, the two-phase eval
+pipeline at real-MIND candidate width, the end-to-end fit() loop, and —
+LAST, as the headline metric the driver records — NRMS at the reference
+demo config (frozen table, bf16 activations). Each training line carries
+an analytic-FLOPs model-TFLOP/s estimate so "is it actually fast" is
+answerable in absolute terms, not only against this repo's own anchor.
 
 Measured configs follow the reference's effective MIND-small setup
 (batch 128 = the README's "32*4", history 50, title 20, 300-d words, 400-d
